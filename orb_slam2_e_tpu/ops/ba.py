@@ -1,0 +1,373 @@
+"""Bundle adjustment: Levenberg-Marquardt over cameras + landmarks with
+Schur-complement elimination, in two flavors:
+
+- `ba_solve` (dense Schur): for local BA windows (tens of cameras), the
+  reduced (6C x 6C) camera system is materialized and solved with Cholesky.
+  Replaces reference Optimizer::LocalBundleAdjustment +
+  g2o BlockSolver_6_3 Schur marginalization (reference src/Optimizer.cc:837,
+  Thirdparty/g2o/g2o/core/block_solver.hpp).
+- `ba_solve_pcg` (matrix-free): the Schur product S.x is computed from the
+  observation COO arrays with segment-sums and solved with preconditioned
+  conjugate gradients (block-Jacobi). This is the scale-out path: each term
+  of S.x is a per-device partial reduction followed by a psum (see
+  orb_slam2_e_tpu.parallel.dist_ba). Replaces g2o's sparse Cholesky for
+  global BA (reference Optimizer.cc:66-262 GlobalBundleAdjustemnt).
+
+Structure-of-arrays problem layout (all fixed capacity, masked):
+  cam_pose7 (C, 7), cam_free (C,), points (P, 3), point_valid (P,),
+  obs_cam (O,), obs_point (O,), obs_uvr (O, 3), obs_inv_sigma2 (O,),
+  obs_valid (O,).
+
+The LM schedule mirrors the reference: 5 its -> outlier down-weight
+(chi2 > 5.991 mono / 7.815 stereo or negative depth) -> 10 its
+(reference src/Optimizer.cc:1008-1033), with Huber kernels
+delta = sqrt(5.991)/sqrt(7.815) (reference Optimizer.cc:961-976).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import lie
+from .camera import Camera
+from .pose_opt import CHI2_MONO, CHI2_STEREO, huber_weight
+
+
+class BAProblem(NamedTuple):
+    cam_pose7: jnp.ndarray      # (C, 7) Tcw quaternion+translation
+    cam_free: jnp.ndarray       # (C,) bool — False = gauge/fixed ring
+    points: jnp.ndarray         # (P, 3) world positions
+    point_valid: jnp.ndarray    # (P,) bool
+    obs_cam: jnp.ndarray        # (O,) int32
+    obs_point: jnp.ndarray      # (O,) int32
+    obs_uvr: jnp.ndarray        # (O, 3) measured u, v, u_right (<0 => mono)
+    obs_inv_sigma2: jnp.ndarray # (O,)
+    obs_valid: jnp.ndarray      # (O,) bool
+
+
+class BAResult(NamedTuple):
+    cam_pose7: jnp.ndarray
+    points: jnp.ndarray
+    obs_inlier: jnp.ndarray     # (O,) bool — chi2 test at final state
+    final_cost: jnp.ndarray
+
+
+def _residual_jacobians(cam: Camera, R, t, prob: BAProblem):
+    """Per-observation residual (O,3), camera Jacobian (O,3,6) and point
+    Jacobian (O,3,3). R/t: (C,3,3)/(C,3)."""
+    Ro = R[prob.obs_cam]                            # (O, 3, 3)
+    to = t[prob.obs_cam]
+    Xw = prob.points[prob.obs_point]
+    xc = jnp.einsum('oij,oj->oi', Ro, Xw) + to
+    z = jnp.maximum(xc[:, 2], 1e-6)
+    u = cam.fx * xc[:, 0] / z + cam.cx
+    v = cam.fy * xc[:, 1] / z + cam.cy
+    ur = u - cam.bf / z
+    is_stereo = prob.obs_uvr[:, 2] >= 0
+    r = jnp.stack([u - prob.obs_uvr[:, 0], v - prob.obs_uvr[:, 1],
+                   jnp.where(is_stereo, ur - prob.obs_uvr[:, 2], 0.0)], -1)
+    iz = 1.0 / z
+    iz2 = iz * iz
+    zeros = jnp.zeros_like(z)
+    du = jnp.stack([cam.fx * iz, zeros, -cam.fx * xc[:, 0] * iz2], -1)
+    dv = jnp.stack([zeros, cam.fy * iz, -cam.fy * xc[:, 1] * iz2], -1)
+    dur = du + jnp.stack([zeros, zeros, cam.bf * iz2], -1)
+    dr_dxc = jnp.stack([du, dv, jnp.where(is_stereo[:, None], dur, 0.0)], -2)
+    # camera: xi = [omega, upsilon], delta xc = -[xc]x w + v
+    Jc = jnp.concatenate([
+        jnp.einsum('oij,ojk->oik', dr_dxc, -lie.so3_hat(xc)), dr_dxc], -1)
+    # point: delta xc = R delta Xw
+    Jp = jnp.einsum('oij,ojk->oik', dr_dxc, Ro)
+    behind = xc[:, 2] <= 1e-6
+    return r, Jc, Jp, behind
+
+
+def _weights(prob: BAProblem, r, behind, robust: bool, extra_mask=None):
+    chi2 = jnp.sum(r * r, -1) * prob.obs_inv_sigma2
+    is_stereo = prob.obs_uvr[:, 2] >= 0
+    delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    w_rob = jnp.where(robust, huber_weight(chi2, delta2), 1.0)
+    live = (prob.obs_valid & prob.point_valid[prob.obs_point] & ~behind)
+    if extra_mask is not None:
+        live &= extra_mask
+    w = prob.obs_inv_sigma2 * w_rob * live
+    cost = jnp.sum(jnp.where(live, chi2 * w_rob, 0.0))
+    return w, chi2, cost, live
+
+
+def _build_normal_blocks(prob: BAProblem, r, Jc, Jp, w, C: int, P: int):
+    """Scatter per-obs products into per-camera / per-point / per-pair blocks.
+
+    Returns Hcc (C,6,6), bc (C,6), Hpp (P,3,3), bp (P,3), Hcp (P,C,6,3)."""
+    wJc = Jc * w[:, None, None]
+    Hcc = jnp.zeros((C, 6, 6)).at[prob.obs_cam].add(
+        jnp.einsum('oij,oik->ojk', wJc, Jc))
+    bc = jnp.zeros((C, 6)).at[prob.obs_cam].add(
+        jnp.einsum('oij,oi->oj', wJc, r))
+    wJp = Jp * w[:, None, None]
+    Hpp = jnp.zeros((P, 3, 3)).at[prob.obs_point].add(
+        jnp.einsum('oij,oik->ojk', wJp, Jp))
+    bp = jnp.zeros((P, 3)).at[prob.obs_point].add(
+        jnp.einsum('oij,oi->oj', wJp, r))
+    Hcp = jnp.zeros((P, C, 6, 3)).at[prob.obs_point, prob.obs_cam].add(
+        jnp.einsum('oij,oik->ojk', wJc, Jp))
+    return Hcc, bc, Hpp, bp, Hcp
+
+
+def _schur_solve_dense(Hcc, bc, Hpp, bp, Hcp, cam_free, lam):
+    """Marginalize points, solve the reduced camera system, back-substitute.
+    Returns (dxc (C,6), dxp (P,3))."""
+    C = Hcc.shape[0]
+    eye3 = jnp.eye(3)
+    Hpp_l = (Hpp + lam * _diag_embed(jnp.diagonal(Hpp, axis1=1, axis2=2))
+             + 1e-9 * eye3)
+    Hpp_inv = jnp.linalg.inv(Hpp_l)                      # (P, 3, 3)
+    # S = Hcc_diag - sum_p Hcp Hpp^-1 Hcp^T  (full C x C block matrix)
+    T = jnp.einsum('pcij,pjk->pcik', Hcp, Hpp_inv)       # (P, C, 6, 3)
+    S_off = jnp.einsum('pcik,pdjk->cdij', T, Hcp)        # (C, C, 6, 6)
+    rhs_red = bc - jnp.einsum('pcik,pk->ci', T, bp)      # (C, 6)
+    S = -S_off
+    S = S.at[jnp.arange(C), jnp.arange(C)].add(
+        Hcc + lam * _diag_embed(jnp.diagonal(Hcc, axis1=1, axis2=2)))
+    # fixed cameras: identity rows/cols, zero rhs
+    free = cam_free.astype(S.dtype)
+    S = S * free[:, None, None, None] * free[None, :, None, None]
+    S = S.at[jnp.arange(C), jnp.arange(C)].add(
+        (1.0 - free)[:, None, None] * jnp.eye(6))
+    rhs_red = rhs_red * free[:, None]
+    Sf = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
+    dxc = jnp.linalg.solve(Sf, -rhs_red.reshape(-1)).reshape(C, 6)
+    dxc = dxc * free[:, None]
+    # back-substitute points: dxp = -Hpp^-1 (bp + Hcp^T dxc)
+    t2 = jnp.einsum('pcij,ci->pj', Hcp, dxc)             # (P, 3)
+    dxp = -jnp.einsum('pij,pj->pi', Hpp_inv, bp + t2)
+    return dxc, dxp
+
+
+def _diag_embed(d):
+    """(..., n) -> (..., n, n) diagonal matrices."""
+    n = d.shape[-1]
+    out = jnp.zeros(d.shape + (n,), d.dtype)
+    idx = jnp.arange(n)
+    return out.at[..., idx, idx].set(d)
+
+
+def _apply_updates(cam_pose7, points, dxc, dxp, point_valid):
+    R, t = lie.pose7_unpack(cam_pose7)
+    dR, dt = lie.se3_exp(dxc)
+    Rn, tn = lie.se3_compose(dR, dt, R, t)
+    pose_n = lie.pose7_pack(Rn, tn)
+    pts_n = jnp.where(point_valid[:, None], points + dxp, points)
+    return pose_n, pts_n
+
+
+def ba_solve(cam: Camera, prob: BAProblem, iters_phase1: int = 5,
+             iters_phase2: int = 10) -> BAResult:
+    """Dense-Schur LM bundle adjustment (local BA / small GBA).
+
+    Two phases with outlier reclassification in between, mirroring
+    reference Optimizer::LocalBundleAdjustment (src/Optimizer.cc:1003-1033).
+    """
+    C = prob.cam_pose7.shape[0]
+    P = prob.points.shape[0]
+
+    def lm_step(state, robust, extra_mask):
+        pose7, pts, lam = state
+        R, t = lie.pose7_unpack(pose7)
+        p = prob._replace(cam_pose7=pose7, points=pts)
+        r, Jc, Jp, behind = _residual_jacobians(cam, R, t, p)
+        w, chi2, cost, live = _weights(p, r, behind, robust, extra_mask)
+        Hcc, bc, Hpp, bp, Hcp = _build_normal_blocks(p, r, Jc, Jp, w, C, P)
+        # never move points nobody observes (weights sum to 0 -> Hpp ~ 0)
+        dxc, dxp = _schur_solve_dense(Hcc, bc, Hpp, bp, Hcp, prob.cam_free, lam)
+        pose_n, pts_n = _apply_updates(pose7, pts, dxc, dxp, prob.point_valid)
+        # evaluate new cost
+        Rn, tn = lie.pose7_unpack(pose_n)
+        pn = prob._replace(cam_pose7=pose_n, points=pts_n)
+        rn, _, _, behind_n = _residual_jacobians(cam, Rn, tn, pn)
+        _, _, cost_n, _ = _weights(pn, rn, behind_n, robust, extra_mask)
+        accept = cost_n < cost
+        pose7 = jnp.where(accept, pose_n, pose7)
+        pts = jnp.where(accept, pts_n, pts)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+        return (pose7, pts, lam)
+
+    state = (prob.cam_pose7, prob.points, jnp.asarray(1e-4, prob.points.dtype))
+    state = jax.lax.fori_loop(
+        0, iters_phase1, lambda i, s: lm_step(s, True, None), state)
+
+    # reclassify outliers (reference Optimizer.cc:1011-1031)
+    pose7, pts, lam = state
+    R, t = lie.pose7_unpack(pose7)
+    p = prob._replace(cam_pose7=pose7, points=pts)
+    r, _, _, behind = _residual_jacobians(cam, R, t, p)
+    chi2 = jnp.sum(r * r, -1) * prob.obs_inv_sigma2
+    is_stereo = prob.obs_uvr[:, 2] >= 0
+    chi_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    inlier_mask = (chi2 <= chi_th) & ~behind
+
+    state = (pose7, pts, lam)
+    state = jax.lax.fori_loop(
+        0, iters_phase2, lambda i, s: lm_step(s, False, inlier_mask), state)
+    pose7, pts, lam = state
+
+    # final classification for observation culling
+    R, t = lie.pose7_unpack(pose7)
+    p = prob._replace(cam_pose7=pose7, points=pts)
+    r, _, _, behind = _residual_jacobians(cam, R, t, p)
+    chi2 = jnp.sum(r * r, -1) * prob.obs_inv_sigma2
+    final_inlier = (chi2 <= chi_th) & ~behind & prob.obs_valid
+    _, _, cost, _ = _weights(p, r, behind, False, None)
+    return BAResult(cam_pose7=pose7, points=pts, obs_inlier=final_inlier,
+                    final_cost=cost)
+
+
+ba_solve_jit = jax.jit(ba_solve, static_argnames=('iters_phase1', 'iters_phase2'))
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free Schur PCG (global BA / distributed path)
+# ---------------------------------------------------------------------------
+
+def _schur_matvec(x, prob: BAProblem, Jc, Jp, w, Hcc_l, Hpp_inv, psum=None):
+    """S @ x without materializing S.
+
+    x: (C, 6). Per-observation gathers + segment scatters; `psum` is an
+    optional collective (lambda v: lax.psum(v, axis)) applied to the
+    point-space partial sums when observations are sharded across devices."""
+    C = x.shape[0]
+    P = Hpp_inv.shape[0]
+    # y_p = sum_obs Jp^T w Jc x_c
+    Jcx = jnp.einsum('oij,oj->oi', Jc, x[prob.obs_cam])          # (O, 3)
+    y = jnp.zeros((P, 3)).at[prob.obs_point].add(
+        jnp.einsum('oij,oi->oj', Jp * w[:, None, None], Jcx))
+    if psum is not None:
+        y = psum(y)
+    z = jnp.einsum('pij,pj->pi', Hpp_inv, y)                     # (P, 3)
+    # w_c = sum_obs Jc^T w Jp z_p
+    Jpz = jnp.einsum('oij,oj->oi', Jp, z[prob.obs_point])        # (O, 3)
+    wc = jnp.zeros((C, 6)).at[prob.obs_cam].add(
+        jnp.einsum('oij,oi->oj', Jc * w[:, None, None], Jpz))
+    if psum is not None:
+        wc = psum(wc)
+    Hx = jnp.einsum('cij,cj->ci', Hcc_l, x)
+    return Hx - wc
+
+
+def ba_solve_pcg(cam: Camera, prob: BAProblem, n_outer: int = 10,
+                 cg_iters: int = 30, robust: bool = True,
+                 psum=None) -> BAResult:
+    """LM with matrix-free Schur + block-Jacobi PCG camera solve.
+
+    With `psum` supplied, observation arrays may be sharded over devices:
+    every segment-sum above reduces locally, then psum combines shards —
+    the distributed BA design of SURVEY.md §2.4/§5.
+    """
+    C = prob.cam_pose7.shape[0]
+    P = prob.points.shape[0]
+
+    def lm_step(carry, _):
+        pose7, pts, lam = carry
+        R, t = lie.pose7_unpack(pose7)
+        p = prob._replace(cam_pose7=pose7, points=pts)
+        r, Jc, Jp, behind = _residual_jacobians(cam, R, t, p)
+        w, chi2, cost, live = _weights(p, r, behind, robust)
+        wJc = Jc * w[:, None, None]
+        Hcc = jnp.zeros((C, 6, 6)).at[prob.obs_cam].add(
+            jnp.einsum('oij,oik->ojk', wJc, Jc))
+        bc = jnp.zeros((C, 6)).at[prob.obs_cam].add(
+            jnp.einsum('oij,oi->oj', wJc, r))
+        wJp = Jp * w[:, None, None]
+        Hpp = jnp.zeros((P, 3, 3)).at[prob.obs_point].add(
+            jnp.einsum('oij,oik->ojk', wJp, Jp))
+        bp = jnp.zeros((P, 3)).at[prob.obs_point].add(
+            jnp.einsum('oij,oi->oj', wJp, r))
+        if psum is not None:
+            Hcc, bc, Hpp, bp = psum(Hcc), psum(bc), psum(Hpp), psum(bp)
+        Hcc_l = Hcc + _diag_embed(
+            lam * jnp.diagonal(Hcc, axis1=1, axis2=2) + 1e-8)
+        Hpp_l = Hpp + _diag_embed(
+            lam * jnp.diagonal(Hpp, axis1=1, axis2=2) + 1e-8)
+        Hpp_inv = jnp.linalg.inv(Hpp_l)
+        # rhs = -(bc - Hcp Hpp^-1 bp); gauge: zero rhs of fixed cams
+        z0 = jnp.einsum('pij,pj->pi', Hpp_inv, bp)
+        Jpz = jnp.einsum('oij,oj->oi', Jp, z0[prob.obs_point])
+        red = jnp.zeros((C, 6)).at[prob.obs_cam].add(
+            jnp.einsum('oij,oi->oj', wJc, Jpz))
+        if psum is not None:
+            red = psum(red)
+        free = prob.cam_free.astype(pts.dtype)[:, None]
+        rhs = -(bc - red) * free
+
+        # block-Jacobi preconditioner
+        M_inv = jnp.linalg.inv(Hcc_l + jnp.eye(6) * 1e-6)
+
+        def matvec(x):
+            return _schur_matvec(x * free, prob, Jc, Jp, w, Hcc_l,
+                                 Hpp_inv, psum) * free
+
+        def prec(x):
+            return jnp.einsum('cij,cj->ci', M_inv, x) * free
+
+        # PCG (fixed iterations, masked dofs)
+        x = jnp.zeros_like(rhs)
+        rcg = rhs - matvec(x)
+        zc = prec(rcg)
+        pdir = zc
+        rz = jnp.sum(rcg * zc)
+
+        def cg_body(i, st):
+            x, rcg, pdir, rz = st
+            Ap = matvec(pdir)
+            denom = jnp.sum(pdir * Ap)
+            alpha = jnp.where(jnp.abs(denom) > 1e-12, rz / denom, 0.0)
+            x = x + alpha * pdir
+            rcg = rcg - alpha * Ap
+            zc = prec(rcg)
+            rz_new = jnp.sum(rcg * zc)
+            beta = jnp.where(jnp.abs(rz) > 1e-12, rz_new / rz, 0.0)
+            pdir = zc + beta * pdir
+            return (x, rcg, pdir, rz_new)
+
+        x, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body,
+                                       (x, rcg, pdir, rz))
+        dxc = x * free
+        Jcx = jnp.einsum('oij,oj->oi', Jc, dxc[prob.obs_cam])
+        yb = jnp.zeros((P, 3)).at[prob.obs_point].add(
+            jnp.einsum('oij,oi->oj', wJp, Jcx))
+        if psum is not None:
+            yb = psum(yb)
+        dxp = -jnp.einsum('pij,pj->pi', Hpp_inv, bp + yb)
+
+        pose_n, pts_n = _apply_updates(pose7, pts, dxc, dxp, prob.point_valid)
+        Rn, tn = lie.pose7_unpack(pose_n)
+        pn = prob._replace(cam_pose7=pose_n, points=pts_n)
+        rn, _, _, behind_n = _residual_jacobians(cam, Rn, tn, pn)
+        _, _, cost_n, _ = _weights(pn, rn, behind_n, robust)
+        accept = cost_n < cost
+        pose7 = jnp.where(accept, pose_n, pose7)
+        pts = jnp.where(accept, pts_n, pts)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+        return (pose7, pts, lam), cost_n
+
+    (pose7, pts, _), _ = jax.lax.scan(
+        lm_step, (prob.cam_pose7, prob.points,
+                  jnp.asarray(1e-4, prob.points.dtype)), None, length=n_outer)
+
+    R, t = lie.pose7_unpack(pose7)
+    p = prob._replace(cam_pose7=pose7, points=pts)
+    r, _, _, behind = _residual_jacobians(cam, R, t, p)
+    chi2 = jnp.sum(r * r, -1) * prob.obs_inv_sigma2
+    is_stereo = prob.obs_uvr[:, 2] >= 0
+    chi_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    final_inlier = (chi2 <= chi_th) & ~behind & prob.obs_valid
+    _, _, cost, _ = _weights(p, r, behind, False)
+    return BAResult(cam_pose7=pose7, points=pts, obs_inlier=final_inlier,
+                    final_cost=cost)
+
+
+ba_solve_pcg_jit = jax.jit(ba_solve_pcg,
+                           static_argnames=('n_outer', 'cg_iters', 'robust'))

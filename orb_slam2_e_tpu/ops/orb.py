@@ -1,0 +1,310 @@
+"""ORB feature extraction as a TPU-friendly, static-shape XLA program.
+
+Functional equivalent of the reference's ORBextractor (reference
+src/ORBextractor.cc): 8-level scale pyramid (ComputePyramid :1115), per-cell
+FAST with high/low threshold fallback (ComputeKeyPointsOctTree :765),
+spatially-spread keypoint selection (DistributeOctTree :539), intensity
+centroid orientation (IC_Angle :77), Gaussian blur + 256-bit steered binary
+descriptor (computeOrbDescriptor :108).
+
+TPU-first redesign decisions (not a translation):
+- Everything is dense over image grids with static shapes: FAST is a fused
+  elementwise program over 16 shifted views (VPU-friendly), not per-pixel
+  branching.
+- The quadtree distribution is replaced by cell-grid non-max suppression +
+  per-level top-k quota (same geometric per-level quota formula as the
+  reference), which is data-parallel and gives equivalent spatial spread.
+- High/low FAST threshold fallback is expressed as a score bonus for
+  strong-threshold corners instead of a per-cell retry loop.
+- The descriptor sampling pattern is generated from a fixed seed (BRIEF-style
+  Gaussian pairs, as in the ORB paper) rather than copying OpenCV's learned
+  table; the vocabulary used for place recognition is trained on *our*
+  descriptors (ops/bow.py), so cross-compatibility with OpenCV's table is not
+  required.
+
+Output is a fixed-capacity `OrbFeatures` SoA with a validity mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+HALF_PATCH = 15          # orientation patch radius (reference ORBextractor.cc:55)
+EDGE_THRESHOLD = 19      # border margin for detection (reference ORBextractor.cc:54)
+PATTERN_BITS = 256
+
+# Bresenham circle of radius 3 — the FAST-9/16 test ring
+# (reference uses the same ring via cv::FAST).
+FAST_RING = np.array([
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+], dtype=np.int32)  # (dx, dy)
+
+
+def make_pattern(seed: int = 1234) -> np.ndarray:
+    """Generate the 256-pair binary test pattern, (256, 2, 2) int32 (x, y).
+
+    BRIEF-style: coordinates ~ N(0, (patch/5)^2) clipped to the 31x31 patch
+    (ORB paper §4.1). Deterministic so descriptors are stable across runs.
+    """
+    rng = np.random.RandomState(seed)
+    sigma = (2 * HALF_PATCH + 1) / 5.0
+    pts = np.clip(np.round(rng.randn(PATTERN_BITS, 2, 2) * sigma),
+                  -HALF_PATCH, HALF_PATCH).astype(np.int32)
+    return pts
+
+
+_PATTERN = make_pattern()
+
+
+class OrbFeatures(NamedTuple):
+    """Fixed-capacity keypoint SoA (the Frame's feature block).
+
+    All coordinates are level-0 pixel units (as the reference rescales
+    keypoints by the level scale, ORBextractor.cc:1100-1108).
+    """
+    uv: jnp.ndarray        # (N, 2) float32 raw (distorted) pixel coords
+    response: jnp.ndarray  # (N,) float32 FAST score
+    angle: jnp.ndarray     # (N,) float32 radians
+    octave: jnp.ndarray    # (N,) int32 pyramid level
+    desc: jnp.ndarray      # (N, 32) uint8 packed 256-bit descriptor
+    valid: jnp.ndarray     # (N,) bool
+
+    @property
+    def capacity(self):
+        return self.uv.shape[0]
+
+
+def level_quotas(n_features: int, scale_factor: float, n_levels: int) -> list:
+    """Per-level feature quotas: geometric split, remainder to the top level
+    (same scheme as reference ORBextractor.cc ctor :437-449)."""
+    factor = 1.0 / scale_factor
+    n_per = n_features * (1 - factor) / (1 - factor ** n_levels)
+    quotas = []
+    total = 0
+    for _ in range(n_levels - 1):
+        q = int(round(n_per))
+        quotas.append(q)
+        total += q
+        n_per *= factor
+    quotas.append(max(n_features - total, 0))
+    return quotas
+
+
+def _gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur7(img: jnp.ndarray) -> jnp.ndarray:
+    """7x7 separable Gaussian, sigma=2 (reference ORBextractor.cc:1105
+    cv::GaussianBlur(..., Size(7,7), 2, 2, BORDER_REFLECT_101))."""
+    k = jnp.asarray(_gaussian_kernel1d(2.0, 3))
+    pad = 3
+    x = jnp.pad(img, ((pad, pad), (0, 0)), mode='reflect')
+    x = sum(k[i] * x[i:i + img.shape[0], :] for i in range(7))
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode='reflect')
+    x = sum(k[i] * x[:, i:i + img.shape[1]] for i in range(7))
+    return x
+
+
+def _shift2d(img: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
+    """View of img shifted by (dx, dy) with edge replication, same shape."""
+    H, W = img.shape
+    pad = 3
+    p = jnp.pad(img, pad, mode='edge')
+    return jax.lax.dynamic_slice(p, (pad + dy, pad + dx), (H, W))
+
+
+def fast_score_map(img: jnp.ndarray, th_high: float, th_low: float,
+                   arc_len: int = 9) -> jnp.ndarray:
+    """FAST-9/16 corner response over the whole image.
+
+    Returns a (H, W) float32 map: 0 where not a corner at `th_low`;
+    otherwise the V-score (max-min arc contrast), plus a large bonus where
+    the pixel also passes `th_high`. The bonus reproduces the reference's
+    two-tier per-cell behavior (prefer iniThFAST corners, fall back to
+    minThFAST — reference ORBextractor.cc:786-806) without a retry loop.
+    """
+    ring = jnp.stack([_shift2d(img, int(dx), int(dy)) for dx, dy in FAST_RING])
+    d = ring - img[None]                                   # (16, H, W)
+
+    def arc_strength(diff):
+        """max over 16 circular arc starts of (min over arc of diff)."""
+        dd = jnp.concatenate([diff, diff[:arc_len - 1]], axis=0)  # (24, H, W)
+        # windows: min over arc_len consecutive entries
+        mins = dd[:16]
+        for k in range(1, arc_len):
+            mins = jnp.minimum(mins, dd[k:k + 16])
+        return jnp.max(mins, axis=0)                        # (H, W)
+
+    bright = arc_strength(d)         # >t  => bright corner with margin
+    dark = arc_strength(-d)          # < -t => dark corner
+    v = jnp.maximum(bright, dark)
+    is_low = v > th_low
+    is_high = v > th_high
+    score = jnp.where(is_low, v, 0.0) + jnp.where(is_high, 1e4, 0.0)
+    return score
+
+
+def _cell_argmax(score: jnp.ndarray, cell: int):
+    """Per-cell max + argmax over a (H, W) map padded to cell multiples.
+
+    Returns (cell_scores (Cy, Cx), cell_v (Cy, Cx), cell_u (Cy, Cx))."""
+    H, W = score.shape
+    Cy, Cx = -(-H // cell), -(-W // cell)
+    pad_h, pad_w = Cy * cell - H, Cx * cell - W
+    s = jnp.pad(score, ((0, pad_h), (0, pad_w)), constant_values=-1.0)
+    s = s.reshape(Cy, cell, Cx, cell).transpose(0, 2, 1, 3).reshape(Cy, Cx, cell * cell)
+    best = jnp.argmax(s, axis=-1)
+    best_score = jnp.max(s, axis=-1)
+    dv, du = best // cell, best % cell
+    vv = jax.lax.broadcasted_iota(jnp.int32, (Cy, Cx), 0) * cell + dv
+    uu = jax.lax.broadcasted_iota(jnp.int32, (Cy, Cx), 1) * cell + du
+    return best_score, vv, uu
+
+
+def detect_level(img: jnp.ndarray, quota: int, th_high: float, th_low: float,
+                 cell: int = 16):
+    """Detect up to `quota` spread-out FAST corners on one pyramid level.
+
+    Returns (uv (Q,2) f32 level coords, score (Q,), valid (Q,)).
+    Border of EDGE_THRESHOLD px is excluded (reference ORBextractor.cc:774-781).
+    """
+    H, W = img.shape
+    score = fast_score_map(img, th_high, th_low)
+    # 3x3 non-max suppression
+    neigh = [ _shift2d(score, dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+              if not (dx == 0 and dy == 0) ]
+    is_max = functools.reduce(jnp.logical_and, [score >= n for n in neigh])
+    score = jnp.where(is_max, score, 0.0)
+    # border mask
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    b = EDGE_THRESHOLD
+    inb = (ys >= b) & (ys < H - b) & (xs >= b) & (xs < W - b)
+    score = jnp.where(inb, score, 0.0)
+
+    cs, cv, cu = _cell_argmax(score, cell)
+    flat_s, flat_v, flat_u = cs.reshape(-1), cv.reshape(-1), cu.reshape(-1)
+    k = min(quota, flat_s.shape[0])
+    top_s, idx = jax.lax.top_k(flat_s, k)
+    uv = jnp.stack([flat_u[idx], flat_v[idx]], axis=-1).astype(jnp.float32)
+    valid = top_s > 0.0
+    if k < quota:  # pad to static quota
+        pad = quota - k
+        uv = jnp.concatenate([uv, jnp.zeros((pad, 2), jnp.float32)])
+        top_s = jnp.concatenate([top_s, jnp.zeros((pad,))])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return uv, jnp.where(valid, top_s % 1e4, 0.0), valid
+
+
+def _circular_mask_offsets(radius: int = HALF_PATCH):
+    """(K, 2) integer offsets inside the orientation disc + for moments."""
+    ys, xs = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    mask = (xs ** 2 + ys ** 2) <= radius ** 2
+    return np.stack([xs[mask], ys[mask]], axis=-1).astype(np.int32)
+
+
+_DISC = _circular_mask_offsets()
+
+
+def compute_orientations(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid angle per keypoint (reference IC_Angle,
+    src/ORBextractor.cc:77-106): angle = atan2(m01, m10) over a radius-15 disc.
+    """
+    H, W = img.shape
+    flat = img.reshape(-1)
+    pix = uv.astype(jnp.int32)                              # (N, 2)
+    pts = pix[:, None, :] + jnp.asarray(_DISC)[None]        # (N, K, 2)
+    x = jnp.clip(pts[..., 0], 0, W - 1)
+    y = jnp.clip(pts[..., 1], 0, H - 1)
+    vals = flat[y * W + x]                                  # (N, K)
+    offs = jnp.asarray(_DISC, jnp.float32)
+    m10 = jnp.sum(vals * offs[None, :, 0], axis=1)
+    m01 = jnp.sum(vals * offs[None, :, 1], axis=1)
+    return jnp.arctan2(m01, m10)
+
+
+_BIT_WEIGHTS = np.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=np.uint8)
+
+
+def compute_descriptors(img_blur: jnp.ndarray, uv: jnp.ndarray,
+                        angle: jnp.ndarray) -> jnp.ndarray:
+    """Steered 256-bit binary descriptor, packed (N, 32) uint8.
+
+    Pattern points are rotated by the keypoint angle and sampled at nearest
+    pixel (reference computeOrbDescriptor, src/ORBextractor.cc:108-148,
+    with our own seeded pattern instead of bit_pattern_31_)."""
+    H, W = img_blur.shape
+    flat = img_blur.reshape(-1)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)                  # (N,)
+    pat = jnp.asarray(_PATTERN, jnp.float32)                 # (256, 2, 2)
+    px, py = pat[..., 0], pat[..., 1]                        # (256, 2)
+    # rotate: x' = x ca - y sa ; y' = x sa + y ca
+    rx = px[None] * ca[:, None, None] - py[None] * sa[:, None, None]
+    ry = px[None] * sa[:, None, None] + py[None] * ca[:, None, None]
+    cx = jnp.clip(jnp.round(uv[:, None, None, 0] + rx), 0, W - 1).astype(jnp.int32)
+    cy = jnp.clip(jnp.round(uv[:, None, None, 1] + ry), 0, H - 1).astype(jnp.int32)
+    vals = flat[cy * W + cx]                                 # (N, 256, 2)
+    bits = (vals[..., 0] < vals[..., 1])                     # (N, 256)
+    bytes_ = jnp.sum(bits.reshape(-1, 32, 8).astype(jnp.uint8)
+                     * _BIT_WEIGHTS[None, None, :], axis=-1, dtype=jnp.uint8)
+    return bytes_
+
+
+class OrbExtractor:
+    """Stateless extractor; __call__ is jit-compiled per image shape.
+
+    Equivalent public surface to reference ORBextractor::operator()
+    (reference include/ORBextractor.h:60-62)."""
+
+    def __init__(self, n_features: int = 1000, scale_factor: float = 1.2,
+                 n_levels: int = 8, ini_th_fast: float = 20.0,
+                 min_th_fast: float = 7.0, cell: int = 16):
+        self.n_features = n_features
+        self.scale_factor = scale_factor
+        self.n_levels = n_levels
+        self.ini_th = float(ini_th_fast)
+        self.min_th = float(min_th_fast)
+        self.cell = cell
+        self.quotas = level_quotas(n_features, scale_factor, n_levels)
+        self.capacity = sum(self.quotas)
+        self.scales = [scale_factor ** i for i in range(n_levels)]
+        self._jitted = jax.jit(self._extract)
+
+    def __call__(self, image: jnp.ndarray) -> OrbFeatures:
+        """image: (H, W) uint8 or float32 grayscale."""
+        return self._jitted(image)
+
+    def _extract(self, image: jnp.ndarray) -> OrbFeatures:
+        img0 = image.astype(jnp.float32)
+        H, W = img0.shape
+        feats = []
+        img = img0
+        for lvl in range(self.n_levels):
+            if lvl > 0:
+                h = int(round(H / self.scales[lvl]))
+                w = int(round(W / self.scales[lvl]))
+                img = jax.image.resize(img0, (h, w), method='bilinear')
+            uv, score, valid = detect_level(
+                img, self.quotas[lvl], self.ini_th, self.min_th, self.cell)
+            ang = compute_orientations(img, uv)
+            desc = compute_descriptors(gaussian_blur7(img), uv, ang)
+            scale = jnp.float32(self.scales[lvl])
+            feats.append(OrbFeatures(
+                uv=uv * scale,
+                response=score,
+                angle=ang,
+                octave=jnp.full((uv.shape[0],), lvl, jnp.int32),
+                desc=desc,
+                valid=valid,
+            ))
+        return OrbFeatures(*[jnp.concatenate([getattr(f, k) for f in feats])
+                             for k in OrbFeatures._fields])

@@ -1,0 +1,10 @@
+"""Test configuration: run on CPU with 8 virtual devices so the multi-chip
+sharding path (orb_slam2_e_tpu.parallel) is exercised without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
