@@ -1,0 +1,88 @@
+"""Per-frame feature record (functional Frame).
+
+Equivalent of reference src/Frame.cc (include/Frame.h:43-237): ORB features,
+undistorted keypoints, stereo right-coordinates / RGB-D pseudo-stereo depth,
+and the frame's landmark associations `point_ids` (the reference's
+mvpMapPoints). The 64x48 search grid (reference Frame.cc:245) is not needed:
+windowed searches are dense masked matrix ops (see ops/matching.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import camera as cam_ops
+from ..ops.camera import Camera
+from ..ops.orb import OrbFeatures
+
+INVALID = jnp.int32(-1)
+
+
+class Frame(NamedTuple):
+    pose7: jnp.ndarray      # (7,) Tcw
+    uvr: jnp.ndarray        # (F, 3) undistorted u, v, u_right (<0 => mono)
+    uv_raw: jnp.ndarray     # (F, 2) raw (distorted) pixel coords
+    octave: jnp.ndarray     # (F,) int32
+    angle: jnp.ndarray      # (F,)
+    response: jnp.ndarray   # (F,)
+    desc: jnp.ndarray       # (F, 32) uint8
+    valid: jnp.ndarray      # (F,) bool
+    point_ids: jnp.ndarray  # (F,) int32 landmark id or -1
+    depth: jnp.ndarray      # (F,) z depth (<=0 => unknown)
+
+    @property
+    def F(self):
+        return self.uvr.shape[0]
+
+
+def scale_invsigma2(octave: jnp.ndarray, scale_factor: float) -> jnp.ndarray:
+    """1 / sigma^2(octave) — information weights (reference mvInvLevelSigma2,
+    src/ORBextractor.cc ctor / Frame usage in Optimizer.cc:334)."""
+    sigma2 = scale_factor ** (2.0 * octave.astype(jnp.float32))
+    return 1.0 / sigma2
+
+
+def frame_from_features(cam: Camera, feats: OrbFeatures,
+                        depth_lookup=None) -> Frame:
+    """Build a Frame from extractor output.
+
+    depth_lookup: optional (F,) depths sampled at keypoint locations (RGB-D
+    path, reference Frame::ComputeStereoFromRGBD src/Frame.cc:704) or
+    produced by the stereo matcher (reference ComputeStereoMatches
+    src/Frame.cc:527). ur = u - bf/d for valid depths."""
+    uv_und = cam_ops.undistort_pixels(cam, feats.uv)
+    n = feats.uv.shape[0]
+    if depth_lookup is None:
+        ur = jnp.full((n,), -1.0)
+        depth = jnp.full((n,), -1.0)
+    else:
+        depth = depth_lookup
+        ok = depth > 0
+        ur = jnp.where(ok, uv_und[:, 0] - cam.bf / jnp.where(ok, depth, 1.0),
+                       -1.0)
+    uvr = jnp.concatenate([uv_und, ur[:, None]], axis=-1)
+    return Frame(
+        pose7=jnp.zeros((7,), uvr.dtype).at[0].set(1.0),
+        uvr=uvr,
+        uv_raw=feats.uv,
+        octave=feats.octave,
+        angle=feats.angle,
+        response=feats.response,
+        desc=feats.desc,
+        valid=feats.valid,
+        point_ids=jnp.full((n,), INVALID),
+        depth=depth,
+    )
+
+
+def sample_depth_at(depth_map: jnp.ndarray, uv: jnp.ndarray,
+                    depth_factor: float = 1.0) -> jnp.ndarray:
+    """Nearest-neighbor depth lookup at raw keypoint coords (RGB-D)."""
+    H, W = depth_map.shape
+    x = jnp.clip(jnp.round(uv[:, 0]), 0, W - 1).astype(jnp.int32)
+    y = jnp.clip(jnp.round(uv[:, 1]), 0, H - 1).astype(jnp.int32)
+    d = depth_map[y, x].astype(jnp.float32) * depth_factor
+    return jnp.where(d > 0, d, -1.0)

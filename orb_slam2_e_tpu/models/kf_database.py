@@ -1,0 +1,73 @@
+"""Keyframe recognition database: per-keyframe BoW vectors + batched scoring.
+
+Equivalent of reference src/KeyFrameDatabase.cc (include/KeyFrameDatabase.h:
+46-58): add/erase keyframes, DetectLoopCandidates (excluding covisible
+keyframes, with a minimum-score gate), DetectRelocalizationCandidates.
+
+TPU-first: the inverted file (word -> keyframe list) becomes a dense
+(K, W) tf-idf matrix; every query is one matvec over all keyframes at once
+(the reference's shared-word counting + 0.8*maxCommonWords + accumulated
+covisibility-group scoring collapses into plain top-k over scores, with the
+covisibility-exclusion mask applied directly).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import bow
+from ..ops.bow import Vocabulary
+
+
+class BowDatabase(NamedTuple):
+    vecs: jnp.ndarray     # (K, W) L1-normalized tf-idf rows
+    filled: jnp.ndarray   # (K,) bool
+
+    @staticmethod
+    def create(max_keyframes: int, n_words: int) -> "BowDatabase":
+        return BowDatabase(vecs=jnp.zeros((max_keyframes, n_words)),
+                           filled=jnp.zeros((max_keyframes,), bool))
+
+    def add(self, slot, vec) -> "BowDatabase":
+        """Reference KeyFrameDatabase::add."""
+        return BowDatabase(vecs=self.vecs.at[slot].set(vec),
+                           filled=self.filled.at[slot].set(True))
+
+    def erase(self, slot) -> "BowDatabase":
+        """Reference KeyFrameDatabase::erase."""
+        return BowDatabase(vecs=self.vecs.at[slot].set(0.0),
+                           filled=self.filled.at[slot].set(False))
+
+
+@jax.jit
+def query_scores(db: BowDatabase, q: jnp.ndarray) -> jnp.ndarray:
+    """(K,) L1 similarity of q against every stored keyframe."""
+    return jnp.where(db.filled, bow.l1_score(db.vecs, q), -1.0)
+
+
+@jax.jit
+def detect_relocalization_candidates(db: BowDatabase, q: jnp.ndarray,
+                                     n_candidates: int = 5):
+    """Reference KeyFrameDatabase::DetectRelocalizationCandidates
+    (src/KeyFrameDatabase.cc:192-309): no exclusion, ranked by score."""
+    scores = query_scores(db, q)
+    top_s, top_k = jax.lax.top_k(scores, n_candidates)
+    return top_k, top_s
+
+
+@jax.jit
+def detect_loop_candidates(db: BowDatabase, q: jnp.ndarray,
+                           exclude: jnp.ndarray, min_score: jnp.ndarray,
+                           n_candidates: int = 5):
+    """Reference KeyFrameDatabase::DetectLoopCandidates
+    (src/KeyFrameDatabase.cc:76-190): exclude the query's covisible
+    keyframes, require score >= minScore (the minimum BoW similarity
+    between the query and its covisible neighbors)."""
+    scores = query_scores(db, q)
+    scores = jnp.where(exclude, -1.0, scores)
+    scores = jnp.where(scores >= min_score, scores, -1.0)
+    top_s, top_k = jax.lax.top_k(scores, n_candidates)
+    return top_k, top_s

@@ -1,0 +1,422 @@
+"""Local mapping: new-point triangulation, map-point culling, duplicate
+fusion, local bundle adjustment, keyframe culling.
+
+Functional equivalent of reference src/LocalMapping.cc (SURVEY.md §3.2):
+ProcessNewKeyFrame -> MapPointCulling -> CreateNewMapPoints ->
+SearchInNeighbors -> LocalBundleAdjustment -> KeyFrameCulling.
+
+Design: the whole mapping pass for one new keyframe is a handful of jitted
+static-shape programs over MapState. The reference runs this on a separate
+thread; here the host dispatches it asynchronously after each keyframe
+(JAX async dispatch overlaps it with the next frames' tracking).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie, matching, twoview, ba
+from ..ops.camera import Camera
+from ..ops import camera as cam_ops
+from .frame import scale_invsigma2
+from .map_state import MapState, INVALID
+
+
+class MappingConfig(NamedTuple):
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    n_neighbors: int = 10        # covisible KFs used for triangulation
+                                 # (reference uses 20 mono / 10 stereo,
+                                 #  LocalMapping.cc:254-257)
+    ba_cams: int = 32            # local BA camera window capacity
+    ba_fixed: int = 32           # fixed-ring capacity
+    ba_points: int = 8192        # local BA point capacity
+    ba_obs: int = 24576          # local BA observation capacity
+    cull_min_found_ratio: float = 0.25   # reference LocalMapping.cc:190
+    cull_obs_th: int = 2                 # cnThObs mono (ref :178)
+
+
+# ---------------------------------------------------------------------------
+# Triangulate new landmarks against covisible neighbors
+# ---------------------------------------------------------------------------
+
+def _fundamental_from_poses(R1, t1, R2, t2, K):
+    """F12 between two cameras (reference LocalMapping::ComputeF12,
+    src/LocalMapping.cc:604-621)."""
+    R12 = R1 @ R2.T
+    t12 = -R12 @ t2 + t1
+    E = lie.so3_hat(t12) @ R12
+    Kinv = jnp.linalg.inv(K)
+    return Kinv.T @ E @ Kinv
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def triangulate_with_neighbors(cam: Camera, cfg: MappingConfig,
+                               state: MapState, kf: jnp.ndarray):
+    """Create new landmarks by epipolar-constrained matching between the new
+    keyframe's unmatched features and its top covisible neighbors
+    (reference LocalMapping::CreateNewMapPoints, src/LocalMapping.cc:243-520).
+
+    Per neighbor (static unrolled loop over cfg.n_neighbors):
+      baseline gate -> epipolar band mask + Hamming match of unbound features
+      -> linear triangulation -> positive depth / parallax / reprojection /
+      scale-consistency gates -> allocate landmark slots, bind in both KFs.
+    """
+    K_mat = cam.K
+    R1, t1 = lie.pose7_unpack(state.kf_pose7[kf])
+    O1 = -R1.T @ t1
+    covis = state.covisibility_row(kf)
+    nb_w, nb_ids = jax.lax.top_k(covis, cfg.n_neighbors)
+
+    F = state.F
+    f_uv = state.kf_kp_uvr[kf][:, :2]
+    f_oct = state.kf_kp_octave[kf]
+    f_ok = state.kf_kp_valid[kf] & (state.kf_kp_point[kf] < 0)
+    bits1 = matching.unpack_desc(state.kf_desc[kf])
+    inv_sig1 = scale_invsigma2(f_oct, cfg.scale_factor)
+
+    def per_neighbor(carry, nb_i):
+        state, = carry
+        nb, w = nb_i
+        ok_nb = (w > 10) & state.kf_valid[nb]
+        R2, t2 = lie.pose7_unpack(state.kf_pose7[nb])
+        O2 = -R2.T @ t2
+        baseline = jnp.linalg.norm(O2 - O1)
+        # baseline vs scene depth gate (mono: b/medianDepth > 0.01,
+        # reference LocalMapping.cc:270-287). Use mean depth of nb's points.
+        pid2_all = state.kf_kp_point[nb]
+        ok2_all = state.kf_kp_valid[nb] & (pid2_all >= 0)
+        z2 = lie.se3_apply(R2, t2, state.lm_xyz[jnp.where(ok2_all, pid2_all, 0)])[:, 2]
+        med_depth = jnp.sum(jnp.where(ok2_all, z2, 0.0)) / jnp.maximum(
+            jnp.sum(ok2_all), 1)
+        ok_nb &= baseline / jnp.maximum(med_depth, 1e-6) > 0.01
+
+        g_uv = state.kf_kp_uvr[nb][:, :2]
+        g_oct = state.kf_kp_octave[nb]
+        g_ok = state.kf_kp_valid[nb] & (state.kf_kp_point[nb] < 0)
+        bits2 = matching.unpack_desc(state.kf_desc[nb])
+        # epipolar band: distance of g to line F12 @ p1
+        F12 = _fundamental_from_poses(R1, t1, R2, t2, K_mat)
+        p1h = jnp.concatenate([f_uv, jnp.ones((F, 1))], axis=1)
+        lines = p1h @ F12.T                                  # (F, 3)
+        num = (lines[:, None, 0] * g_uv[None, :, 0]
+               + lines[:, None, 1] * g_uv[None, :, 1] + lines[:, 2][:, None])
+        den = jnp.maximum(lines[:, 0] ** 2 + lines[:, 1] ** 2, 1e-12)[:, None]
+        d2 = num * num / den
+        sig2_2 = cfg.scale_factor ** (2.0 * g_oct.astype(jnp.float32))
+        epi_ok = d2 < 3.84 * sig2_2[None, :]   # reference CheckDistEpipolarLine
+        dmat = matching.hamming_matrix(bits1, bits2)
+        mask = epi_ok & f_ok[:, None] & g_ok[None, :] & ok_nb
+        bi, d1, d2nd = matching.masked_best2(dmat, mask)
+        good = d1 <= matching.TH_LOW
+        midx = matching.resolve_duplicates(
+            jnp.where(good, bi, INVALID), d1, F)
+        pair_ok = midx >= 0
+        safe = jnp.where(pair_ok, midx, 0)
+        # triangulate
+        P1 = K_mat @ jnp.concatenate([R1, t1[:, None]], 1)
+        P2 = K_mat @ jnp.concatenate([R2, t2[:, None]], 1)
+        X = twoview.triangulate_linear(P1, P2, f_uv, g_uv[safe])
+        finite = jnp.all(jnp.isfinite(X), axis=1)
+        xc1 = lie.se3_apply(R1, t1, X)
+        xc2 = lie.se3_apply(R2, t2, X)
+        zok = (xc1[:, 2] > 0) & (xc2[:, 2] > 0)
+        # parallax gate
+        r1v = X - O1
+        r2v = X - O2
+        cosp = jnp.sum(r1v * r2v, 1) / jnp.maximum(
+            jnp.linalg.norm(r1v, axis=1) * jnp.linalg.norm(r2v, axis=1), 1e-9)
+        par_ok = cosp < 0.9998
+        # reprojection gates in both views (5.991 * sigma2)
+        (uv1p, _) = cam_ops.project(cam, xc1)
+        (uv2p, _) = cam_ops.project(cam, xc2)
+        e1 = jnp.sum((uv1p - f_uv) ** 2, 1) * inv_sig1
+        sig_inv2 = scale_invsigma2(g_oct[safe], cfg.scale_factor)
+        e2 = jnp.sum((uv2p - g_uv[safe]) ** 2, 1) * sig_inv2
+        rp_ok = (e1 < 5.991) & (e2 < 5.991)
+        # scale consistency (reference LocalMapping.cc:487-500)
+        d1n = jnp.linalg.norm(r1v, axis=1)
+        d2n = jnp.linalg.norm(r2v, axis=1)
+        ratio_d = d1n / jnp.maximum(d2n, 1e-9)
+        ratio_o = (cfg.scale_factor
+                   ** (f_oct - g_oct[safe]).astype(jnp.float32))
+        sc_ok = (ratio_d < ratio_o * cfg.scale_factor * 1.5) \
+            & (ratio_d > ratio_o / (cfg.scale_factor * 1.5))
+        want = (pair_ok & finite & zok & par_ok & rp_ok & sc_ok & ok_nb
+                & f_ok)  # f_ok re-check: feature still unbound
+        slots, alloc_ok = state.allocate_points(want)
+        okn = want & alloc_ok
+        sl = jnp.where(okn, slots, 0)
+        dist1 = jnp.linalg.norm(xc1, axis=1)
+        maxd = dist1 * cfg.scale_factor ** f_oct.astype(jnp.float32)
+        mind = maxd / cfg.scale_factor ** (cfg.n_levels - 1)
+        normal = (r1v / jnp.maximum(d1n[:, None], 1e-9)
+                  + r2v / jnp.maximum(d2n[:, None], 1e-9))
+        normal = normal / jnp.maximum(
+            jnp.linalg.norm(normal, axis=1, keepdims=True), 1e-9)
+        state = state._replace(
+            lm_xyz=state.lm_xyz.at[sl].set(
+                jnp.where(okn[:, None], X, state.lm_xyz[sl])),
+            lm_valid=state.lm_valid.at[sl].max(okn),
+            lm_desc=state.lm_desc.at[sl].set(
+                jnp.where(okn[:, None], state.kf_desc[kf], state.lm_desc[sl])),
+            lm_normal=state.lm_normal.at[sl].set(
+                jnp.where(okn[:, None], normal, state.lm_normal[sl])),
+            lm_min_dist=state.lm_min_dist.at[sl].set(
+                jnp.where(okn, mind, state.lm_min_dist[sl])),
+            lm_max_dist=state.lm_max_dist.at[sl].set(
+                jnp.where(okn, maxd, state.lm_max_dist[sl])),
+            lm_ref_kf=state.lm_ref_kf.at[sl].set(
+                jnp.where(okn, kf, state.lm_ref_kf[sl])),
+            lm_first_kf=state.lm_first_kf.at[sl].set(
+                jnp.where(okn, kf, state.lm_first_kf[sl])),
+            kf_kp_point=state.kf_kp_point
+                .at[kf].set(jnp.where(okn, slots, state.kf_kp_point[kf]))
+                .at[nb, safe].max(jnp.where(okn, slots, INVALID)),
+        )
+        return (state,), jnp.sum(okn)
+
+    (state,), created = jax.lax.scan(
+        per_neighbor, (state,), (nb_ids, nb_w))
+    return state, jnp.sum(created)
+
+
+# ---------------------------------------------------------------------------
+# Map point culling (recent points quality gate)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def cull_map_points(cfg: MappingConfig, state: MapState, current_kf):
+    """Remove low-quality recent landmarks (reference
+    LocalMapping::MapPointCulling, src/LocalMapping.cc:170-241):
+    found/visible < 0.25, or age >= 2 KFs with <= cnThObs observations.
+    Age is measured in keyframe slots here (monotonic within a session)."""
+    obs = state.observation_counts()
+    ratio = state.lm_found / jnp.maximum(state.lm_visible, 1.0)
+    age = current_kf - state.lm_first_kf
+    bad = state.lm_valid & (
+        (ratio < cfg.cull_min_found_ratio)
+        | ((age >= 2) & (obs <= cfg.cull_obs_th)))
+    # points older than 3 KFs are grandfathered (reference :231)
+    bad &= age <= 3
+    return state.remove_points(bad), jnp.sum(bad)
+
+
+# ---------------------------------------------------------------------------
+# Fuse duplicates with neighbors
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def fuse_neighbors(cam: Camera, cfg: MappingConfig, state: MapState, kf):
+    """Project neighbors' landmarks into `kf` and merge duplicates
+    (reference LocalMapping::SearchInNeighbors + ORBmatcher::Fuse,
+    src/LocalMapping.cc:522-602, src/ORBmatcher.cc:1026).
+
+    If a projected landmark matches a feature already bound to another
+    landmark, the one with more observations absorbs the other (reference
+    MapPoint::Replace)."""
+    covis = state.covisibility_row(kf)
+    nb_w, nb_ids = jax.lax.top_k(covis, cfg.n_neighbors)
+    # candidate landmark set: union of neighbors' points (compacted)
+    sel = jnp.zeros((state.K,), bool).at[nb_ids].max(nb_w > 0)
+    in_sel = sel[:, None] & state.kf_kp_valid & (state.kf_kp_point >= 0)
+    lm_mask = jnp.zeros((state.P,), bool).at[
+        jnp.where(in_sel, state.kf_kp_point, 0)].max(in_sel)
+    lm_mask &= state.lm_valid
+    L = cfg.ba_points
+    (ids,) = jnp.nonzero(lm_mask, size=L, fill_value=0)
+    sub = lm_mask[ids]
+    # project into kf
+    R, t = lie.pose7_unpack(state.kf_pose7[kf])
+    xc = lie.se3_apply(R, t, state.lm_xyz[ids])
+    uv, z = cam_ops.project(cam, xc)
+    dist = jnp.linalg.norm(xc, axis=1)
+    ok = sub & (z > 0) & cam_ops.in_image(cam, uv) \
+        & (dist >= 0.8 * state.lm_min_dist[ids]) \
+        & (dist <= 1.2 * state.lm_max_dist[ids])
+    ratio = state.lm_max_dist[ids] / jnp.maximum(dist, 1e-6)
+    oct_pred = jnp.clip(
+        jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-6)) / np.log(cfg.scale_factor)
+                 ).astype(jnp.int32), 0, cfg.n_levels - 1)
+    radius = 3.0 * cfg.scale_factor ** oct_pred.astype(jnp.float32)
+    bits_lm = matching.unpack_desc(state.lm_desc[ids])
+    bits_kf = matching.unpack_desc(state.kf_desc[kf])
+    dmat = matching.hamming_matrix(bits_lm, bits_kf)
+    mask = matching.window_mask(uv, state.kf_kp_uvr[kf][:, :2], radius)
+    mask &= matching.octave_range_mask(oct_pred, state.kf_kp_octave[kf])
+    mask &= ok[:, None] & state.kf_kp_valid[kf][None, :]
+    best, d1, _ = matching.masked_best2(dmat, mask)
+    good = d1 <= matching.TH_LOW
+    midx = matching.resolve_duplicates(
+        jnp.where(good, best, INVALID), d1, state.F)
+    # merge: feature f of kf currently bound to q = kf_kp_point[kf][f]
+    obs = state.observation_counts()
+    pair_ok = midx >= 0
+    f_safe = jnp.where(pair_ok, midx, 0)
+    q = state.kf_kp_point[kf][f_safe]                      # current binding
+    p = jnp.where(pair_ok, ids, INVALID)                   # projected lm
+    # case A: feature unbound -> bind p
+    bindA = pair_ok & (q < 0)
+    new_kp_point = state.kf_kp_point.at[kf, jnp.where(bindA, f_safe, 0)].max(
+        jnp.where(bindA, p, INVALID))
+    state = state._replace(kf_kp_point=new_kp_point)
+    # case B: feature bound to q != p -> replace the weaker landmark by the
+    # stronger one everywhere
+    bindB = pair_ok & (q >= 0) & (q != p)
+    p_obs = obs[jnp.where(p >= 0, p, 0)]
+    q_obs = obs[jnp.where(q >= 0, q, 0)]
+    loser = jnp.where(bindB, jnp.where(p_obs >= q_obs, q, p), INVALID)
+    winner = jnp.where(bindB, jnp.where(p_obs >= q_obs, p, q), INVALID)
+    # build a P-sized replacement table: loser -> winner
+    table = jnp.arange(state.P, dtype=jnp.int32)
+    table = table.at[jnp.where(loser >= 0, loser, 0)].set(
+        jnp.where(loser >= 0, winner, table[jnp.where(loser >= 0, loser, 0)]))
+    pt = state.kf_kp_point
+    remapped = jnp.where(pt >= 0, table[jnp.where(pt >= 0, pt, 0)], pt)
+    dead = jnp.zeros((state.P,), bool).at[
+        jnp.where(loser >= 0, loser, 0)].max(loser >= 0)
+    state = state._replace(
+        kf_kp_point=remapped,
+        lm_valid=state.lm_valid & ~dead,
+        lm_found=state.lm_found + jnp.zeros((state.P,)).at[
+            jnp.where(winner >= 0, winner, 0)].add(
+                (winner >= 0) * state.lm_found[jnp.where(loser >= 0, loser, 0)]),
+    )
+    return state, jnp.sum(bindA) + jnp.sum(bindB)
+
+
+# ---------------------------------------------------------------------------
+# Local bundle adjustment window extraction + solve
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def local_ba(cam: Camera, cfg: MappingConfig, state: MapState, kf):
+    """Local BA around `kf` (reference Optimizer::LocalBundleAdjustment,
+    src/Optimizer.cc:837-1162): free cameras = kf + covisible; free points =
+    their landmarks; fixed ring = other KFs observing those points.
+
+    Window is compacted to (ba_cams + ba_fixed, ba_points, ba_obs)
+    capacities; overflowing observations are dropped (weakest covisibility
+    first by construction of top_k)."""
+    covis = state.covisibility_row(kf)
+    free_w, free_ids = jax.lax.top_k(covis, cfg.ba_cams - 1)
+    free_mask = jnp.zeros((state.K,), bool).at[free_ids].max(free_w >= 15)
+    free_mask = free_mask.at[kf].set(True)
+    # local points
+    in_free = free_mask[:, None] & state.kf_kp_valid & (state.kf_kp_point >= 0)
+    lm_mask = jnp.zeros((state.P,), bool).at[
+        jnp.where(in_free, state.kf_kp_point, 0)].max(in_free)
+    lm_mask &= state.lm_valid
+    (pids,) = jnp.nonzero(lm_mask, size=cfg.ba_points, fill_value=0)
+    p_ok = lm_mask[pids]
+    # fixed ring: KFs observing local points but not free
+    sees_local = jnp.zeros((state.P,), bool).at[
+        jnp.where(p_ok, pids, 0)].max(p_ok)
+    kf_sees = jnp.any(
+        sees_local[jnp.where(state.kf_kp_point >= 0, state.kf_kp_point, 0)]
+        & (state.kf_kp_point >= 0) & state.kf_kp_valid, axis=1)
+    fixed_mask = kf_sees & state.kf_valid & ~free_mask
+    (fixed_ids,) = jnp.nonzero(fixed_mask, size=cfg.ba_fixed, fill_value=0)
+    fix_ok = fixed_mask[fixed_ids]
+    (free_idsc,) = jnp.nonzero(free_mask, size=cfg.ba_cams, fill_value=0)
+    free_ok = free_mask[free_idsc]
+
+    cam_ids = jnp.concatenate([free_idsc, fixed_ids])       # (C,)
+    cam_ok = jnp.concatenate([free_ok, fix_ok])
+    cam_free = jnp.concatenate([free_ok, jnp.zeros_like(fix_ok)])
+    C = cam_ids.shape[0]
+
+    # map P -> local point row
+    p_row = jnp.full((state.P,), INVALID).at[
+        jnp.where(p_ok, pids, 0)].max(
+        jnp.where(p_ok, jnp.arange(cfg.ba_points, dtype=jnp.int32), INVALID))
+    # observations: every (cam_row, feature) with a local point
+    kp_pt = state.kf_kp_point[cam_ids]                      # (C, F)
+    kp_ok = state.kf_kp_valid[cam_ids] & (kp_pt >= 0) & cam_ok[:, None]
+    prow = p_row[jnp.where(kp_pt >= 0, kp_pt, 0)]           # (C, F)
+    o_ok = kp_ok & (prow >= 0)
+    flat_ok = o_ok.reshape(-1)
+    (o_sel,) = jnp.nonzero(flat_ok, size=cfg.ba_obs, fill_value=0)
+    o_live = flat_ok[o_sel]
+    o_cam = (o_sel // state.F).astype(jnp.int32)
+    o_feat = o_sel % state.F
+    o_point = prow.reshape(-1)[o_sel]
+    uvr = state.kf_kp_uvr[cam_ids].reshape(-1, 3)[o_sel]
+    octv = state.kf_kp_octave[cam_ids].reshape(-1)[o_sel]
+    prob = ba.BAProblem(
+        cam_pose7=state.kf_pose7[cam_ids],
+        cam_free=cam_free,
+        points=state.lm_xyz[pids],
+        point_valid=p_ok,
+        obs_cam=o_cam,
+        obs_point=jnp.where(o_live, o_point, 0),
+        obs_uvr=uvr,
+        obs_inv_sigma2=scale_invsigma2(octv, cfg.scale_factor),
+        obs_valid=o_live,
+    )
+    res = ba.ba_solve(cam, prob)
+    # write back poses + points
+    wr = jnp.where(cam_ok & cam_free, 1.0, 0.0)[:, None]
+    new_pose = state.kf_pose7.at[cam_ids].set(
+        wr * res.cam_pose7 + (1 - wr) * state.kf_pose7[cam_ids])
+    new_xyz = state.lm_xyz.at[jnp.where(p_ok, pids, 0)].set(
+        jnp.where(p_ok[:, None], res.points, state.lm_xyz[jnp.where(p_ok, pids, 0)]))
+    state = state._replace(kf_pose7=new_pose, lm_xyz=new_xyz)
+    # erase outlier observations (reference Optimizer.cc:1102-1126)
+    out = o_live & ~res.obs_inlier
+    state = state._replace(
+        kf_kp_point=state.kf_kp_point.at[
+            cam_ids[jnp.where(out, o_cam, 0)],
+            jnp.where(out, o_feat, 0)].set(
+            jnp.where(out, INVALID,
+                      state.kf_kp_point[cam_ids[jnp.where(out, o_cam, 0)],
+                                        jnp.where(out, o_feat, 0)])))
+    return state, res.final_cost
+
+
+# ---------------------------------------------------------------------------
+# Keyframe culling
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def cull_keyframes(cfg: MappingConfig, state: MapState, kf):
+    """Cull covisible keyframes whose landmarks are >= 90% redundant —
+    seen by >= 3 other keyframes at the same or finer scale (reference
+    LocalMapping::KeyFrameCulling, src/LocalMapping.cc:700-763).
+
+    Culls at most one keyframe per call (the most redundant), preserving
+    slot 0 (map origin) and the current keyframe."""
+    covis = state.covisibility_row(kf)
+    cand_mask = (covis > 0) & state.kf_valid
+    cand_mask = cand_mask.at[0].set(False).at[kf].set(False)
+    obs = state.observation_counts()
+
+    # per candidate: redundancy ratio of its observed points
+    pt = state.kf_kp_point                                   # (K, F)
+    okf = state.kf_kp_valid & (pt >= 0)
+    pt_safe = jnp.where(okf, pt, 0)
+    n_obs_pt = obs[pt_safe]                                   # (K, F)
+    redundant = okf & (n_obs_pt >= 4)    # itself + 3 others (scale check
+                                         # omitted: conservative superset)
+    n_pts = jnp.sum(okf, axis=1)
+    n_red = jnp.sum(redundant, axis=1)
+    ratio = n_red / jnp.maximum(n_pts, 1)
+    score = jnp.where(cand_mask & (n_pts > 0), ratio, 0.0)
+    victim = jnp.argmax(score)
+    do_cull = score[victim] > 0.9
+    new_state = state.remove_keyframe(victim)
+    # re-parent children of the victim to the victim's parent
+    vic_parent = state.kf_parent[victim]
+    new_parent = jnp.where(
+        (state.kf_parent == victim) & state.kf_valid, vic_parent,
+        new_state.kf_parent)
+    new_state = new_state._replace(kf_parent=new_parent)
+    state = jax.tree.map(
+        lambda a, b: jnp.where(do_cull, b, a) if a.dtype != bool
+        else jnp.where(do_cull, b, a), state, new_state)
+    return state, jnp.where(do_cull, victim, INVALID)

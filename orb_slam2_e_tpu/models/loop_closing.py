@@ -1,0 +1,247 @@
+"""Loop closing: detection, Sim3 computation, loop correction, pose-graph
+optimization, global BA.
+
+Functional equivalent of reference src/LoopClosing.cc (SURVEY.md §3.5):
+DetectLoop (BoW candidates gated by covisible min-score + consistency over
+3 consecutive keyframes) -> ComputeSim3 (descriptor matches -> Sim3 RANSAC
+-> refinement, >= 20 inliers) -> CorrectLoop (propagate the corrected Sim3
+over the covisible neighborhood, fuse duplicates, OptimizeEssentialGraph)
+-> global BA.
+
+The reference's thread choreography (stop LocalMapping, abortable GBA with
+staged write-back, LoopClosing.cc:402-585, 645-749) is unnecessary here:
+the host calls these jitted programs between frames, and the functional
+MapState makes "staged corrections for keyframes created during GBA" a
+non-issue — GBA runs on a snapshot and its result replaces the pools
+atomically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie, matching, sim3_solve, pose_graph, ba
+from ..ops.camera import Camera
+from .frame import scale_invsigma2
+from .map_state import MapState, INVALID
+
+MIN_SIM3_MATCHES = 20     # reference LoopClosing.cc:289 (>= 20 for solver)
+MIN_SIM3_INLIERS = 20     # reference: OptimizeSim3 >= 20 inliers
+CONSISTENCY_TH = 3        # mnCovisibilityConsistencyTh (LoopClosing.cc:46)
+COVIS_EDGE_MIN = 100      # essential-graph covisibility edges (Optimizer.cc:1190)
+
+
+class LoopDetector:
+    """Host-side consistency bookkeeping over consecutive keyframes
+    (reference DetectLoop's vConsistentGroups, LoopClosing.cc:150-225)."""
+
+    def __init__(self):
+        self.consistency = {}     # candidate kf -> consecutive hit count
+
+    def update(self, cand_list):
+        new_consistency = {}
+        confirmed = []
+        for c in cand_list:
+            cnt = self.consistency.get(c, 0) + 1
+            new_consistency[c] = cnt
+            if cnt >= CONSISTENCY_TH:
+                confirmed.append(c)
+        self.consistency = new_consistency
+        return confirmed
+
+    def reset(self):
+        self.consistency = {}
+
+
+@jax.jit
+def match_keyframes(state: MapState, kf1, kf2):
+    """Landmark-level descriptor matches between two keyframes
+    (reference ORBmatcher::SearchByBoW(KF, KF), ratio 0.75).
+
+    Returns (idx2_for_f1 (F,), pair_valid (F,))."""
+    p1 = state.kf_kp_point[kf1]
+    p2 = state.kf_kp_point[kf2]
+    ok1 = state.kf_kp_valid[kf1] & (p1 >= 0) & state.lm_valid[jnp.where(p1 >= 0, p1, 0)]
+    ok2 = state.kf_kp_valid[kf2] & (p2 >= 0) & state.lm_valid[jnp.where(p2 >= 0, p2, 0)]
+    bits1 = matching.unpack_desc(state.kf_desc[kf1])
+    bits2 = matching.unpack_desc(state.kf_desc[kf2])
+    dmat = matching.hamming_matrix(bits1, bits2)
+    mask = ok1[:, None] & ok2[None, :]
+    bi, d1, d2 = matching.masked_best2(dmat, mask)
+    good = (d1 <= matching.TH_LOW) & (d1.astype(jnp.float32)
+                                      < 0.75 * d2.astype(jnp.float32))
+    midx = matching.resolve_duplicates(jnp.where(good, bi, INVALID), d1,
+                                       state.F)
+    return midx, midx >= 0
+
+
+@functools.partial(jax.jit, static_argnames=('fix_scale',))
+def compute_sim3(key, cam: Camera, state: MapState, kf_cur, kf_cand,
+                 scale_factor: float = 1.2, fix_scale: bool = False):
+    """Sim3 between current and candidate keyframes from matched landmarks
+    (reference LoopClosing::ComputeSim3, src/LoopClosing.cc:231-400).
+
+    Returns (R12, t12, s12, n_inliers) with S12 mapping candidate-camera
+    coords into current-camera coords."""
+    midx, pair = match_keyframes(state, kf_cur, kf_cand)
+    safe = jnp.where(pair, midx, 0)
+    p1 = state.kf_kp_point[kf_cur]
+    p2 = state.kf_kp_point[kf_cand]
+    R1, t1 = lie.pose7_unpack(state.kf_pose7[kf_cur])
+    R2, t2 = lie.pose7_unpack(state.kf_pose7[kf_cand])
+    xyz1 = lie.se3_apply(R1, t1, state.lm_xyz[jnp.where(p1 >= 0, p1, 0)])
+    xyz2_all = lie.se3_apply(R2, t2, state.lm_xyz[jnp.where(p2 >= 0, p2, 0)])
+    xyz2 = xyz2_all[safe]
+    uv1 = state.kf_kp_uvr[kf_cur][:, :2]
+    uv2 = state.kf_kp_uvr[kf_cand][safe][:, :2]
+    n_pairs = jnp.sum(pair)
+    res = sim3_solve.ransac_sim3(
+        key, xyz1, xyz2, pair & (n_pairs >= MIN_SIM3_MATCHES), uv1, uv2,
+        cam.K, fix_scale=fix_scale)
+    inv1 = scale_invsigma2(state.kf_kp_octave[kf_cur], scale_factor)
+    inv2 = scale_invsigma2(state.kf_kp_octave[kf_cand][safe], scale_factor)
+    R, t, s, n_in, inl = sim3_solve.refine_sim3(
+        res.R, res.t, res.s, xyz1, xyz2, res.inliers, uv1, uv2, cam.K,
+        inv1, inv2, fix_scale=fix_scale)
+    return R, t, s, n_in
+
+
+@functools.partial(jax.jit, static_argnames=('n_iters',))
+def correct_and_optimize_graph(state: MapState, kf_cur, kf_loop,
+                               R12, t12, s12, n_iters: int = 20):
+    """Correct the covisible neighborhood of kf_cur with the loop Sim3 and
+    run the essential-graph optimization, then remap landmarks
+    (reference LoopClosing::CorrectLoop + Optimizer::OptimizeEssentialGraph).
+
+    The corrected pose of kf_cur: Scw_cur_corr = S12 * Scw_loop-relative…
+    Here: S12 maps loop-KF camera coords into cur camera coords, so the
+    corrected Tcw_cur = S12^-1 composed with Tcw_loop measurementwise; we
+    implement the standard g2o formulation: Scw_corrected(cur) =
+    S_cur_loop * Scw(loop)."""
+    K = state.K
+    # initial sim3 for every KF from its SE3 pose (s=1)
+    R, t = lie.pose7_unpack(state.kf_pose7)
+    ones = jnp.ones((K,))
+    sim8 = lie.sim8_pack(R, t, ones)
+
+    # corrected current KF: Scw_cur = S_cur_loop * Scw_loop
+    Rl, tl = lie.pose7_unpack(state.kf_pose7[kf_loop])
+    Rc_corr, tc_corr, sc_corr = lie.sim3_compose(
+        R12, t12, s12, Rl, tl, jnp.asarray(1.0))
+    # propagate the correction over covisible KFs of cur:
+    # S_i_corr = (S_i * S_cur^-1) * S_cur_corr
+    covis = state.covisibility_row(kf_cur)
+    neigh = (covis >= 15) | (jnp.arange(K) == kf_cur)
+    Rcur, tcur = lie.pose7_unpack(state.kf_pose7[kf_cur])
+    Rcuri, tcuri = lie.se3_inverse(Rcur, tcur)
+    Ri_rel, ti_rel = jax.vmap(
+        lambda r, tt: lie.se3_compose(r, tt, Rcuri, tcuri))(R, t)
+    Rn, tn, sn = jax.vmap(
+        lambda r, tt: lie.sim3_compose(r, tt, jnp.ones(()), Rc_corr, tc_corr,
+                                       sc_corr))(Ri_rel, ti_rel)
+    sim8_corr = lie.sim8_pack(Rn, tn, sn)
+    sim8 = jnp.where(neigh[:, None], sim8_corr, sim8)
+
+    # remap landmarks observed by corrected KFs:
+    # X_corr = S_corr^-1 * S_old * X  (reference LoopClosing.cc:470-505)
+    lm_owner_kf = jnp.clip(state.lm_ref_kf, 0, K - 1)
+    owner_corr = neigh[lm_owner_kf] & state.lm_valid
+    R_old = R[lm_owner_kf]
+    t_old = t[lm_owner_kf]
+    xc = jnp.einsum('pij,pj->pi', R_old, state.lm_xyz) + t_old
+    Rc8, tc8, sc8 = lie.sim8_unpack(sim8[lm_owner_kf])
+    Rci, tci, sci = jax.vmap(lie.sim3_inverse)(Rc8, tc8, sc8)
+    x_new = sci[:, None] * jnp.einsum('pij,pj->pi', Rci, xc) + tci
+    lm_xyz = jnp.where(owner_corr[:, None], x_new, state.lm_xyz)
+
+    # --- essential graph edges ---
+    # spanning tree edges
+    par = state.kf_parent
+    tree_ok = (par >= 0) & state.kf_valid
+    e1_i = jnp.arange(K, dtype=jnp.int32)
+    e1_j = jnp.clip(par, 0, K - 1)
+    # covisibility edges (>= COVIS_EDGE_MIN), upper triangle
+    W = state.covisibility_matrix()
+    strong = (W >= COVIS_EDGE_MIN) & (jnp.arange(K)[:, None] < jnp.arange(K)[None, :])
+    E_CAP = 4 * K
+    (flat_idx,) = jnp.nonzero(strong.reshape(-1), size=E_CAP, fill_value=0)
+    cov_ok = strong.reshape(-1)[flat_idx]
+    e2_i = (flat_idx // K).astype(jnp.int32)
+    e2_j = (flat_idx % K).astype(jnp.int32)
+    # loop edge
+    e3_i = jnp.asarray([kf_cur], jnp.int32)
+    e3_j = jnp.asarray([kf_loop], jnp.int32)
+    loop_ok = jnp.asarray([True])
+
+    edges_i = jnp.concatenate([e1_i, e2_i, e3_i])
+    edges_j = jnp.concatenate([e1_j, e2_j, e3_j])
+    edge_ok = jnp.concatenate([tree_ok, cov_ok, loop_ok])
+    # measurements: non-corrected relative poses for old edges (so the graph
+    # pulls the map back into consistency), corrected for the loop edge
+    meas_old = pose_graph.build_relative_measurements(
+        lie.sim8_pack(R, t, ones)[edges_i], lie.sim8_pack(R, t, ones)[edges_j])
+    # loop edge measurement uses the corrected relative transform
+    meas_loop = pose_graph.build_relative_measurements(
+        sim8[e3_i], sim8[e3_j])
+    meas = meas_old.at[-1].set(meas_loop[0])
+
+    fixed = jnp.zeros((K,), bool).at[kf_loop].set(True)
+    out8, costs = pose_graph.optimize_pose_graph(
+        sim8, state.kf_valid, fixed, edges_i, edges_j, meas, edge_ok,
+        n_iters=n_iters)
+
+    # write back SE3 poses and rescaled landmarks:
+    # X_new = S_new^-1 * S_old_used * X (landmarks follow their ref KF)
+    pose7_new = jax.vmap(pose_graph.sim3_to_se3)(out8)
+    R_used8, t_used8, s_used8 = lie.sim8_unpack(sim8[lm_owner_kf])
+    xc2 = s_used8[:, None] * jnp.einsum(
+        'pij,pj->pi', R_used8, lm_xyz) + t_used8
+    Rn8, tn8, sn8 = lie.sim8_unpack(out8[lm_owner_kf])
+    Rni, tni, sni = jax.vmap(lie.sim3_inverse)(Rn8, tn8, sn8)
+    x_final = sni[:, None] * jnp.einsum('pij,pj->pi', Rni, xc2) + tni
+    lm_xyz = jnp.where(state.lm_valid[:, None], x_final, lm_xyz)
+
+    state = state._replace(
+        kf_pose7=jnp.where(state.kf_valid[:, None], pose7_new, state.kf_pose7),
+        lm_xyz=lm_xyz,
+        kf_loop_edge=state.kf_loop_edge.at[kf_cur, 0].set(kf_loop),
+    )
+    return state, costs[-1]
+
+
+def global_ba(cam: Camera, state: MapState, scale_factor: float = 1.2,
+              n_outer: int = 10, cg_iters: int = 50, obs_cap: int = 131072):
+    """Full-map bundle adjustment with the matrix-free PCG Schur solver
+    (reference Optimizer::GlobalBundleAdjustemnt via LoopClosing's GBA
+    thread). Gauge: keyframe slot 0 fixed (reference fixes KF id 0)."""
+    K, F, P = state.K, state.F, state.P
+    obs_ok = state.kf_kp_valid & (state.kf_kp_point >= 0) \
+        & state.kf_valid[:, None]
+    flat_ok = obs_ok.reshape(-1)
+    (sel,) = jnp.nonzero(flat_ok, size=obs_cap, fill_value=0)
+    live = flat_ok[sel]
+    o_cam = (sel // F).astype(jnp.int32)
+    o_feat = sel % F
+    o_point = state.kf_kp_point.reshape(-1)[sel]
+    prob = ba.BAProblem(
+        cam_pose7=state.kf_pose7,
+        cam_free=state.kf_valid & (jnp.arange(K) != 0),
+        points=state.lm_xyz,
+        point_valid=state.lm_valid,
+        obs_cam=o_cam,
+        obs_point=jnp.where(live, o_point, 0),
+        obs_uvr=state.kf_kp_uvr.reshape(-1, 3)[sel],
+        obs_inv_sigma2=scale_invsigma2(
+            state.kf_kp_octave.reshape(-1)[sel], scale_factor),
+        obs_valid=live,
+    )
+    res = ba.ba_solve_pcg_jit(cam, prob, n_outer=n_outer, cg_iters=cg_iters)
+    return state._replace(
+        kf_pose7=jnp.where(state.kf_valid[:, None], res.cam_pose7,
+                           state.kf_pose7),
+        lm_xyz=jnp.where(state.lm_valid[:, None], res.points, state.lm_xyz))

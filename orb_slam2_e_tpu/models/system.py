@@ -1,0 +1,371 @@
+"""System facade: the public SLAM entry point.
+
+Equivalent of reference src/System.cc (include/System.h:67-128): constructs
+the tracking front-end and mapping back-end, exposes per-frame
+Track{Monocular,RGBD,Stereo}, localization-only mode, reset, trajectory
+savers (TUM/KITTI), and tracking-state queries.
+
+Host-side orchestration replaces the reference's 3-thread design: tracking
+runs synchronously per frame; the mapping pass for a new keyframe is a chain
+of jitted device programs whose results are only synced when needed (JAX
+async dispatch provides the pipeline overlap the reference gets from
+LocalMapping/LoopClosing threads).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie
+from ..ops.camera import Camera
+from ..ops.orb import OrbExtractor
+from ..utils.config import Settings
+from .frame import Frame, frame_from_features, sample_depth_at
+from .map_state import MapState, INVALID
+from . import tracking as T
+from . import local_mapping as LM
+
+
+class TrackState(enum.Enum):
+    """Reference Tracking::eTrackingState (include/Tracking.h:91-97)."""
+    SYSTEM_NOT_READY = -1
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+class Sensor(enum.Enum):
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+
+
+@dataclasses.dataclass
+class SystemConfig:
+    max_keyframes: int = 256
+    max_points: int = 24576
+    n_features: int = 1000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: float = 20.0
+    min_th_fast: float = 7.0
+    th_depth: float = 35.0
+    depth_map_factor: float = 1.0
+    min_frames_between_kf: int = 0
+    max_frames_between_kf: int = 30      # ~fps (reference mMaxFrames = fps)
+    local_ba: bool = True
+    mapping: bool = True                  # False = localization-only mode
+
+    @staticmethod
+    def from_settings(s: Settings) -> "SystemConfig":
+        return SystemConfig(
+            n_features=s.orb.n_features, scale_factor=s.orb.scale_factor,
+            n_levels=s.orb.n_levels, ini_th_fast=s.orb.ini_th_fast,
+            min_th_fast=s.orb.min_th_fast, th_depth=s.th_depth,
+            depth_map_factor=s.depth_map_factor,
+            max_frames_between_kf=int(s.fps))
+
+
+class SlamSystem:
+    """Facade (reference System, include/System.h). Typical use:
+
+        sys = SlamSystem(camera, SystemConfig(), Sensor.MONOCULAR)
+        for im, ts in frames:
+            pose = sys.track_monocular(im, ts)   # (R, t) Tcw or None
+        sys.save_trajectory_tum('traj.txt')
+    """
+
+    def __init__(self, cam: Camera, cfg: SystemConfig = SystemConfig(),
+                 sensor: Sensor = Sensor.MONOCULAR, seed: int = 0):
+        self.cam = cam
+        self.cfg = cfg
+        self.sensor = sensor
+        self.extractor = OrbExtractor(
+            cfg.n_features, cfg.scale_factor, cfg.n_levels,
+            cfg.ini_th_fast, cfg.min_th_fast)
+        self.track_cfg = T.TrackConfig(
+            scale_factor=cfg.scale_factor, n_levels=cfg.n_levels)
+        self.map_cfg = LM.MappingConfig(
+            scale_factor=cfg.scale_factor, n_levels=cfg.n_levels)
+        self.key = jax.random.PRNGKey(seed)
+        self.reset()
+
+    # ------------------------------------------------------------------ state
+    def reset(self):
+        """Reference System::Reset -> Tracking::Reset."""
+        F = self.extractor.capacity
+        self.map = MapState.create(self.cfg.max_keyframes, F,
+                                   self.cfg.max_points)
+        self.state = TrackState.NO_IMAGES_YET
+        self.last_frame: Optional[Frame] = None
+        self.init_frame: Optional[Frame] = None
+        self.init_ts = 0.0
+        self.velocity7: Optional[jnp.ndarray] = None
+        self.frame_id = -1
+        self.last_kf_slot = -1
+        self.last_kf_frame_id = -1
+        self.n_keyframes = 0
+        self.trajectory = []      # (timestamp, pose7 np, state)
+        self.localization_only = not self.cfg.mapping
+        self.stats = {"kf_inserted": 0, "points_created": 0,
+                      "points_culled": 0, "kf_culled": 0}
+
+    def activate_localization_mode(self):
+        """Reference System::ActivateLocalizationMode."""
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    def get_tracking_state(self) -> TrackState:
+        return self.state
+
+    # ------------------------------------------------------------ main entry
+    def track_monocular(self, image, timestamp: float):
+        """Reference System::TrackMonocular -> Tracking::GrabImageMonocular."""
+        assert self.sensor == Sensor.MONOCULAR
+        frame = self._make_frame(image, None)
+        return self._track(frame, timestamp)
+
+    def track_rgbd(self, image, depth, timestamp: float):
+        """Reference System::TrackRGBD."""
+        assert self.sensor == Sensor.RGBD
+        frame = self._make_frame(image, depth)
+        return self._track(frame, timestamp)
+
+    def track_stereo(self, image_left, image_right, timestamp: float):
+        """Reference System::TrackStereo. Depth from the stereo row matcher."""
+        assert self.sensor == Sensor.STEREO
+        from ..ops import stereo as stereo_ops
+        feats = self.extractor(jnp.asarray(image_left))
+        depth = stereo_ops.stereo_depth_for_features(
+            self.cam, jnp.asarray(image_left), jnp.asarray(image_right),
+            feats, self.cfg.scale_factor)
+        frame = frame_from_features(self.cam, feats, depth)
+        return self._track(frame, timestamp)
+
+    # ------------------------------------------------------------- internals
+    def _make_frame(self, image, depth_map) -> Frame:
+        feats = self.extractor(jnp.asarray(image))
+        if depth_map is None:
+            return frame_from_features(self.cam, feats)
+        d = sample_depth_at(jnp.asarray(depth_map), feats.uv,
+                            self.cfg.depth_map_factor)
+        return frame_from_features(self.cam, feats, d)
+
+    def _track(self, frame: Frame, timestamp: float):
+        self.frame_id += 1
+        if self.state == TrackState.NO_IMAGES_YET:
+            self.state = TrackState.NOT_INITIALIZED
+        if self.state == TrackState.NOT_INITIALIZED:
+            ok = self._initialize(frame, timestamp)
+            self._record(timestamp, frame if ok else None)
+            self.last_frame = frame
+            return self._last_pose() if ok else None
+
+        # --- normal tracking ---
+        ok = False
+        if self.velocity7 is not None:
+            pred = self._predict_pose()
+            frame, n_m, n_in = T.track_motion_model(
+                self.cam, self.track_cfg, self.map, frame, self.last_frame, pred)
+            ok = int(n_in) >= self.track_cfg.min_inliers_motion
+        if not ok and self.last_kf_slot >= 0:
+            frame, n_m, n_in = T.track_reference_keyframe(
+                self.cam, self.track_cfg, self.map, frame,
+                jnp.int32(self.last_kf_slot), self.last_frame.pose7)
+            ok = int(n_in) >= self.track_cfg.min_inliers_motion
+        if ok:
+            frame, n_in, visible, found = T.track_local_map(
+                self.cam, self.track_cfg, self.map, frame)
+            self.map = T.update_visibility_counters(self.map, visible, found)
+            n_in = int(n_in)
+            ok = n_in >= self.track_cfg.min_inliers_map
+        if not ok:
+            self.state = TrackState.LOST
+            self.velocity7 = None
+            self._record(timestamp, None)
+            self.last_frame = frame
+            return None
+
+        self.state = TrackState.OK
+        # velocity = Tcw_cur * Twc_last (reference Tracking.cc:545-552)
+        R_c, t_c = lie.pose7_unpack(frame.pose7)
+        R_l, t_l = lie.pose7_unpack(self.last_frame.pose7)
+        R_li, t_li = lie.se3_inverse(R_l, t_l)
+        self.velocity7 = lie.pose7_pack(*lie.se3_compose(R_c, t_c, R_li, t_li))
+
+        if not self.localization_only and self._need_new_keyframe(n_in):
+            self._insert_keyframe(frame, timestamp)
+
+        self._record(timestamp, frame)
+        self.last_frame = frame
+        return self._last_pose()
+
+    def _predict_pose(self):
+        Rv, tv = lie.pose7_unpack(self.velocity7)
+        Rl, tl = lie.pose7_unpack(self.last_frame.pose7)
+        return lie.pose7_pack(*lie.se3_compose(Rv, tv, Rl, tl))
+
+    def _initialize(self, frame: Frame, timestamp: float) -> bool:
+        if self.sensor in (Sensor.RGBD, Sensor.STEREO):
+            return self._initialize_depth(frame, timestamp)
+        # monocular two-frame bootstrap (reference Tracking.cc:681-934)
+        if self.init_frame is None or int(jnp.sum(frame.valid)) < 100:
+            self.init_frame = frame if int(jnp.sum(frame.valid)) >= 100 else None
+            self.init_ts = timestamp
+            return False
+        midx, n_m = T.mono_init_match(self.track_cfg, self.init_frame, frame)
+        if int(n_m) < 100:
+            self.init_frame = frame  # slide the reference forward
+            self.init_ts = timestamp
+            return False
+        self.key, k = jax.random.split(self.key)
+        new_map, new_frame, success, n_good = T.mono_init_reconstruct(
+            k, self.cam, self.track_cfg, self.map, self.init_frame, frame,
+            midx, self.init_ts, timestamp)
+        if not bool(success):
+            return False
+        self.map = new_map
+        # refine initial map with a small full BA (reference
+        # GlobalBundleAdjustemnt(20) at Tracking.cc:873)
+        self.map, _ = LM.local_ba(self.cam, self.map_cfg, self.map,
+                                  jnp.int32(1))
+        frame = new_frame._replace(pose7=self.map.kf_pose7[1])
+        self.state = TrackState.OK
+        self.last_kf_slot = 1
+        self.last_kf_frame_id = self.frame_id
+        self.n_keyframes = 2
+        self.velocity7 = None
+        self.last_frame = frame
+        self.stats["kf_inserted"] += 2
+        self.stats["points_created"] += int(n_good)
+        return True
+
+    def _initialize_depth(self, frame: Frame, timestamp: float) -> bool:
+        """Stereo/RGB-D initialization: first frame with >= 500 features
+        becomes KF0; close-depth features spawn landmarks (reference
+        Tracking::StereoInitialization, src/Tracking.cc:621-679)."""
+        if int(jnp.sum(frame.valid & (frame.depth > 0))) < 200:
+            return False
+        self.map, frame, slot = T.insert_keyframe(
+            self.cam, self.track_cfg, self.map, frame,
+            jnp.int32(self.frame_id), jnp.float32(timestamp), INVALID)
+        self.state = TrackState.OK
+        self.last_kf_slot = int(slot)
+        self.last_kf_frame_id = self.frame_id
+        self.n_keyframes = 1
+        self.last_frame = frame
+        self.stats["kf_inserted"] += 1
+        return True
+
+    def _need_new_keyframe(self, n_inliers: int) -> bool:
+        """Reference Tracking::NeedNewKeyFrame (src/Tracking.cc:1334-1418)
+        c1a/c1b & c2 rules, without the thread-idle conditions."""
+        if self.n_keyframes >= self.cfg.max_keyframes - 2:
+            return False
+        frames_since = self.frame_id - self.last_kf_frame_id
+        ref_matches = int(jnp.sum(
+            (self.map.kf_kp_point[self.last_kf_slot] >= 0)
+            & self.map.kf_kp_valid[self.last_kf_slot]))
+        c1a = frames_since >= self.cfg.max_frames_between_kf
+        c1b = frames_since >= self.cfg.min_frames_between_kf
+        c2 = (n_inliers < ref_matches * 0.9) and n_inliers > 15
+        return (c1a or c1b) and c2
+
+    def _insert_keyframe(self, frame: Frame, timestamp: float):
+        self.map, frame, slot = T.insert_keyframe(
+            self.cam, self.track_cfg, self.map, frame,
+            jnp.int32(self.frame_id), jnp.float32(timestamp),
+            jnp.int32(self.last_kf_slot))
+        slot = int(slot)
+        if slot < 0:
+            return
+        self.last_kf_slot = slot
+        self.last_kf_frame_id = self.frame_id
+        self.n_keyframes += 1
+        self.stats["kf_inserted"] += 1
+        # mapping pass (reference LocalMapping::Run body)
+        kf = jnp.int32(slot)
+        self.map, n_culled = LM.cull_map_points(self.map_cfg, self.map, kf)
+        self.map, n_new = LM.triangulate_with_neighbors(
+            self.cam, self.map_cfg, self.map, kf)
+        self.map, _ = LM.fuse_neighbors(self.cam, self.map_cfg, self.map, kf)
+        if self.cfg.local_ba and self.n_keyframes > 2:
+            self.map, _ = LM.local_ba(self.cam, self.map_cfg, self.map, kf)
+        if self.n_keyframes > 4:
+            self.map, victim = LM.cull_keyframes(self.map_cfg, self.map, kf)
+            if int(victim) >= 0:
+                self.n_keyframes -= 1
+                self.stats["kf_culled"] += 1
+        self.stats["points_created"] += int(n_new)
+        self.stats["points_culled"] += int(n_culled)
+
+    # ------------------------------------------------------------ trajectory
+    def _record(self, timestamp, frame):
+        if frame is None:
+            self.trajectory.append((timestamp, None))
+        else:
+            self.trajectory.append((timestamp, np.asarray(frame.pose7)))
+
+    def _last_pose(self):
+        p7 = self.trajectory[-1][1]
+        if p7 is None:
+            return None
+        R, t = lie.pose7_unpack(jnp.asarray(p7))
+        return np.asarray(R), np.asarray(t)
+
+    def get_trajectory(self):
+        """-> (timestamps, R_wc (N,3,3), t_wc (N,3)) for tracked frames."""
+        ts, Rs, Ts = [], [], []
+        for tstamp, p7 in self.trajectory:
+            if p7 is None:
+                continue
+            R, t = lie.pose7_unpack(jnp.asarray(p7))
+            Rwc, twc = lie.se3_inverse(R, t)
+            ts.append(tstamp)
+            Rs.append(np.asarray(Rwc))
+            Ts.append(np.asarray(twc))
+        return np.asarray(ts), np.stack(Rs) if Rs else np.zeros((0, 3, 3)), \
+            np.stack(Ts) if Ts else np.zeros((0, 3))
+
+    def save_trajectory_tum(self, path):
+        """Reference System::SaveTrajectoryTUM."""
+        from ..utils import trajectory as traj
+        ts, R, t = self.get_trajectory()
+        traj.save_tum(path, ts, R, t)
+
+    def save_trajectory_kitti(self, path):
+        """Reference System::SaveTrajectoryKITTI."""
+        from ..utils import trajectory as traj
+        _, R, t = self.get_trajectory()
+        traj.save_kitti(path, R, t)
+
+    def save_keyframe_trajectory_tum(self, path):
+        """Reference System::SaveKeyFrameTrajectoryTUM."""
+        from ..utils import trajectory as traj
+        kf_ok = np.asarray(self.map.kf_valid)
+        p7 = np.asarray(self.map.kf_pose7)[kf_ok]
+        ts = np.asarray(self.map.kf_timestamp)[kf_ok]
+        R, t = lie.pose7_unpack(jnp.asarray(p7))
+        Rwc, twc = lie.se3_inverse(R, t)
+        traj.save_tum(path, ts, np.asarray(Rwc), np.asarray(twc))
+
+    def get_tracked_map_points(self):
+        """Reference System::GetTrackedMapPoints — landmark ids bound in the
+        last frame."""
+        if self.last_frame is None:
+            return np.zeros((0,), np.int32)
+        pid = np.asarray(self.last_frame.point_ids)
+        return pid[pid >= 0]
+
+    def shutdown(self):
+        """Reference System::Shutdown (no threads to join here)."""
+        jax.block_until_ready(self.map.lm_xyz)

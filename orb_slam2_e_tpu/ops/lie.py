@@ -51,16 +51,19 @@ def so3_vee(W: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues' formula exp: so(3) -> SO(3), numerically safe near 0."""
+    """Rodrigues' formula exp: so(3) -> SO(3).
+
+    Numerically safe AND autodiff-safe near 0: the `small` branch is chosen
+    on theta^2 before any sqrt, so no infinite sqrt-gradient leaks through
+    `jnp.where` (needed by BA tests that autodiff at xi = 0)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small = theta2 < 1e-10
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     W = so3_hat(w)
     W2 = W @ W
-    # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks.
-    small = theta < 1e-5
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    b = jnp.where(small, 0.5 - theta2 / 24.0,
-                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a[..., None, None] * W + b[..., None, None] * W2
 
@@ -93,14 +96,14 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
 def so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
     """Left Jacobian V of SO(3): exp([w] + v) translation coupling matrix."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small = theta2 < 1e-10
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     W = so3_hat(w)
     W2 = W @ W
-    small = theta < 1e-5
-    b = jnp.where(small, 0.5 - theta2 / 24.0,
-                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
-                  (theta - jnp.sin(theta)) / jnp.where(small, 1.0, theta2 * theta))
+                  (theta - jnp.sin(theta)) / (theta2_safe * theta))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + b[..., None, None] * W + c[..., None, None] * W2
 
@@ -108,16 +111,17 @@ def so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
 def so3_left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
     """Inverse left Jacobian of SO(3)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small = theta2 < 1e-10
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     W = so3_hat(w)
     W2 = W @ W
-    small = theta < 1e-5
     half_t = theta * 0.5
-    # (1/theta^2) * (1 - theta*sin/(2(1-cos))) with Taylor fallback 1/12.
+    # (1/theta^2) * (1 - theta*cos(t/2)/(2 sin(t/2))) with Taylor 1/12.
+    sin_half = jnp.where(small, 1.0, jnp.sin(half_t))
     cot_term = jnp.where(
         small, 1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - half_t * jnp.cos(half_t) / jnp.where(small, 1.0, jnp.sin(half_t)))
-        / jnp.where(small, 1.0, theta2))
+        (1.0 - half_t * jnp.cos(half_t) / sin_half) / theta2_safe)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye - 0.5 * W + cot_term[..., None, None] * W2
 
@@ -260,16 +264,16 @@ def sim3_exp(xi: jnp.ndarray):
     R = so3_exp(w)
     s = jnp.exp(sigma)
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small_t = theta2 < 1e-10
+    theta = jnp.sqrt(jnp.where(small_t, 1.0, theta2))
     W = so3_hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
 
     # W(sigma, theta) such that t = W @ v  (Strasdat's Sim3 exp).
     small_s = jnp.abs(sigma) < 1e-5
-    small_t = theta < 1e-5
     sig_safe = jnp.where(small_s, 1.0, sigma)
-    th_safe = jnp.where(small_t, 1.0, theta)
+    th_safe = theta
 
     A_ss = jnp.where(small_t, 0.5, (1 - jnp.cos(theta)) / th_safe**2)           # sigma~0
     B_ss = jnp.where(small_t, 1.0 / 6.0, (theta - jnp.sin(theta)) / th_safe**3)

@@ -1,0 +1,106 @@
+"""Synthetic scene rendering for end-to-end tests and benchmarks.
+
+The reference validates operationally against TUM/KITTI/EuRoC sequences
+(SURVEY.md §4); no dataset ships with this repo, so integration tests run on
+synthetic scenes with exact ground truth: a 3D field of textured squares
+rendered along a known trajectory. ATE against ground truth then bounds the
+whole pipeline (extract -> match -> init -> track -> map -> BA) end to end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import lie
+import jax.numpy as jnp
+
+
+class SyntheticScene:
+    """World = N textured squares (3D position + intensity + size).
+
+    render(R, t) draws them with painter's order by depth; squares project
+    to corner-rich patches that FAST/BRIEF handle well."""
+
+    def __init__(self, n_points=400, seed=0, extent=(6.0, 4.0), depth=(4.0, 9.0),
+                 width=640, height=480, fx=500.0, fy=500.0, cx=320.0, cy=240.0):
+        rng = np.random.RandomState(seed)
+        ex, ey = extent
+        self.xyz = np.stack([
+            rng.uniform(-ex, ex, n_points),
+            rng.uniform(-ey, ey, n_points),
+            rng.uniform(depth[0], depth[1], n_points)], 1).astype(np.float32)
+        self.intensity = rng.uniform(60, 255, n_points).astype(np.float32)
+        self.size = rng.uniform(0.06, 0.16, n_points).astype(np.float32)  # meters
+        # a second tone per square makes patches asymmetric (better descriptors)
+        self.tone = rng.uniform(30, 220, n_points).astype(np.float32)
+        self.W, self.H = width, height
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+
+    def render(self, R: np.ndarray, t: np.ndarray) -> np.ndarray:
+        """Render the scene from camera pose Tcw = (R, t). Returns (H, W) f32."""
+        img = np.full((self.H, self.W), 20.0, np.float32)
+        xc = (R @ self.xyz.T).T + t
+        z = xc[:, 2]
+        order = np.argsort(-z)  # far first
+        for i in order:
+            if z[i] <= 0.3:
+                continue
+            u = self.fx * xc[i, 0] / z[i] + self.cx
+            v = self.fy * xc[i, 1] / z[i] + self.cy
+            half = max(2, int(round(self.fx * self.size[i] / z[i] / 2)))
+            x0, x1 = int(round(u)) - half, int(round(u)) + half
+            y0, y1 = int(round(v)) - half, int(round(v)) + half
+            if x1 < 0 or y1 < 0 or x0 >= self.W or y0 >= self.H:
+                continue
+            xs0, xs1 = max(x0, 0), min(x1, self.W)
+            ys0, ys1 = max(y0, 0), min(y1, self.H)
+            img[ys0:ys1, xs0:xs1] = self.intensity[i]
+            # inner half-square with second tone -> asymmetric patch
+            mx = (x0 + x1) // 2
+            my = (y0 + y1) // 2
+            img[max(y0, 0):min(my, self.H), max(x0, 0):min(mx, self.W)] = self.tone[i]
+        return img
+
+    def depth_map(self, R: np.ndarray, t: np.ndarray) -> np.ndarray:
+        """Ground-truth depth rendered the same way (RGB-D tests)."""
+        dm = np.zeros((self.H, self.W), np.float32)
+        xc = (R @ self.xyz.T).T + t
+        z = xc[:, 2]
+        order = np.argsort(-z)
+        for i in order:
+            if z[i] <= 0.3:
+                continue
+            u = self.fx * xc[i, 0] / z[i] + self.cx
+            v = self.fy * xc[i, 1] / z[i] + self.cy
+            half = max(2, int(round(self.fx * self.size[i] / z[i] / 2)))
+            x0, x1 = max(int(round(u)) - half, 0), min(int(round(u)) + half, self.W)
+            y0, y1 = max(int(round(v)) - half, 0), min(int(round(v)) + half, self.H)
+            if x1 <= x0 or y1 <= y0:
+                continue
+            dm[y0:y1, x0:x1] = z[i]
+        return dm
+
+
+def orbit_trajectory(n_frames=30, radius=0.8, forward=0.02, seed=0,
+                     jitter=0.0):
+    """Smooth sideways+forward sweep; returns list of (R, t) Tcw poses
+    (world-to-camera), plus camera centers for ATE ground truth."""
+    rng = np.random.RandomState(seed)
+    poses = []
+    centers = []
+    for k in range(n_frames):
+        # camera center moves along x with slight yaw to keep scene centered
+        c = np.array([radius * k / n_frames, 0.02 * np.sin(k / 5.0),
+                      forward * k], np.float32)
+        yaw = -0.3 * (c[0] / max(radius, 1e-6)) * 0.2
+        Rwc = np.asarray(lie.so3_exp(jnp.asarray([0.0, yaw, 0.0])),
+                         dtype=np.float32)
+        if jitter:
+            dR = np.asarray(lie.so3_exp(jnp.asarray(
+                rng.randn(3).astype(np.float32) * jitter)))
+            Rwc = Rwc @ dR
+        R = Rwc.T
+        t = -R @ c
+        poses.append((R.astype(np.float32), t.astype(np.float32)))
+        centers.append(c)
+    return poses, np.stack(centers)

@@ -31,7 +31,17 @@ def make_ba_problem(n_cams=6, n_pts=120, seed=0, noise=0.3, stereo=False,
             obs_cam.append(c)
             obs_point.append(p)
             obs_uvr.append([u[p], v[p], ur[p]])
+    # pad observations to a fixed capacity so every test reuses one compile
+    O_CAP = 1024
     O = len(obs_cam)
+    assert O <= O_CAP, O
+    pad = O_CAP - O
+    obs_cam += [0] * pad
+    obs_point += [0] * pad
+    obs_uvr += [[0.0, 0.0, -1.0]] * pad
+    obs_valid = np.zeros(O_CAP, bool)
+    obs_valid[:O] = True
+    O = O_CAP
     # perturb initial state (keep fixed cameras exact)
     pose7_init = []
     for c, (R, t) in enumerate(poses_true):
@@ -52,7 +62,7 @@ def make_ba_problem(n_cams=6, n_pts=120, seed=0, noise=0.3, stereo=False,
         obs_point=jnp.asarray(obs_point, jnp.int32),
         obs_uvr=jnp.asarray(np.asarray(obs_uvr, np.float32)),
         obs_inv_sigma2=jnp.ones(O),
-        obs_valid=jnp.ones(O, bool),
+        obs_valid=jnp.asarray(obs_valid),
     )
     return cam, prob, poses_true, pts_true
 
@@ -70,18 +80,19 @@ def _pose_errors(pose7, poses_true):
 def test_dense_schur_reduces_error():
     cam, prob, poses_true, pts_true = make_ba_problem()
     et0, er0 = _pose_errors(prob.cam_pose7, poses_true)
-    res = ba.ba_solve(cam, prob)
+    res = ba.ba_solve_jit(cam, prob)
     et1, er1 = _pose_errors(res.cam_pose7, poses_true)
     assert et1.max() < 0.01, (et0.max(), et1.max())
     assert er1.max() < 0.005
     pt_err = np.linalg.norm(np.asarray(res.points) - pts_true, axis=1)
     assert np.median(pt_err) < 0.02
-    assert np.asarray(res.obs_inlier).mean() > 0.95
+    valid = np.asarray(prob.obs_valid)
+    assert np.asarray(res.obs_inlier)[valid].mean() > 0.95
 
 
 def test_dense_schur_fixed_cameras_unchanged():
     cam, prob, poses_true, _ = make_ba_problem(n_fixed=2)
-    res = ba.ba_solve(cam, prob)
+    res = ba.ba_solve_jit(cam, prob)
     np.testing.assert_allclose(np.asarray(res.cam_pose7[:2]),
                                np.asarray(prob.cam_pose7[:2]), atol=1e-6)
 
@@ -90,12 +101,12 @@ def test_dense_schur_with_outliers():
     cam, prob, poses_true, pts_true = make_ba_problem(seed=1)
     # corrupt 10% of observations
     rng = np.random.RandomState(2)
-    uvr = np.asarray(prob.obs_uvr)
+    uvr = np.asarray(prob.obs_uvr).copy()
     n_out = len(uvr) // 10
     idx = rng.choice(len(uvr), n_out, replace=False)
     uvr[idx, :2] += rng.uniform(20, 60, (n_out, 2)) * rng.choice([-1, 1], (n_out, 2))
     prob = prob._replace(obs_uvr=jnp.asarray(uvr))
-    res = ba.ba_solve(cam, prob)
+    res = ba.ba_solve_jit(cam, prob)
     et1, _ = _pose_errors(res.cam_pose7, poses_true)
     assert et1.max() < 0.02
     inl = np.asarray(res.obs_inlier)
@@ -104,15 +115,15 @@ def test_dense_schur_with_outliers():
 
 def test_stereo_ba():
     cam, prob, poses_true, pts_true = make_ba_problem(stereo=True, seed=3)
-    res = ba.ba_solve(cam, prob)
+    res = ba.ba_solve_jit(cam, prob)
     et1, _ = _pose_errors(res.cam_pose7, poses_true)
     assert et1.max() < 0.01
 
 
 def test_pcg_matches_dense():
     cam, prob, poses_true, pts_true = make_ba_problem(seed=4)
-    res_d = ba.ba_solve(cam, prob)
-    res_p = ba.ba_solve_pcg(cam, prob, n_outer=15, cg_iters=40)
+    res_d = ba.ba_solve_jit(cam, prob)
+    res_p = ba.ba_solve_pcg_jit(cam, prob, n_outer=15, cg_iters=40)
     et_d, _ = _pose_errors(res_d.cam_pose7, poses_true)
     et_p, _ = _pose_errors(res_p.cam_pose7, poses_true)
     assert et_p.max() < 0.015, (et_d.max(), et_p.max())
@@ -123,6 +134,6 @@ def test_masked_points_not_moved():
     pv = np.ones(prob.points.shape[0], bool)
     pv[:10] = False
     prob = prob._replace(point_valid=jnp.asarray(pv))
-    res = ba.ba_solve(cam, prob)
+    res = ba.ba_solve_jit(cam, prob)
     np.testing.assert_allclose(np.asarray(res.points[:10]),
                                np.asarray(prob.points[:10]), atol=1e-6)

@@ -23,9 +23,14 @@ def make_scene(n=200, seed=0, stereo=False, noise=0.5, outlier_frac=0.0):
     if n_out:
         idx = rng.choice(n, n_out, replace=False)
         uvr[idx, :2] += rng.uniform(20, 80, (n_out, 2)) * rng.choice([-1, 1], (n_out, 2))
+    CAP = 512
+    pad = CAP - n
+    uvr_p = np.concatenate([uvr, np.tile([[0.0, 0.0, -1.0]], (pad, 1))]).astype(np.float32)
+    xyz_p = np.concatenate([xyz, np.ones((pad, 3), np.float32)])
+    valid = np.zeros(CAP, bool); valid[:n] = True
     obs = pose_opt.PoseObs(
-        uvr=jnp.asarray(uvr), xyz=jnp.asarray(xyz),
-        inv_sigma2=jnp.ones(n), valid=jnp.ones(n, bool))
+        uvr=jnp.asarray(uvr_p), xyz=jnp.asarray(xyz_p),
+        inv_sigma2=jnp.ones(CAP), valid=jnp.asarray(valid))
     return cam, (np.asarray(R), np.asarray(t)), obs, xi_true
 
 
@@ -51,7 +56,7 @@ def test_converges_from_perturbed_start():
     cam, (R_true, t_true), obs, _ = make_scene(200, noise=0.3)
     dR, dt = lie.se3_exp(jnp.asarray([0.03, -0.02, 0.04, 0.1, 0.1, -0.15]))
     R0, t0 = lie.se3_compose(dR, dt, jnp.asarray(R_true), jnp.asarray(t_true))
-    R, t, inlier, n_in = pose_opt.pose_optimize(cam, R0, t0, obs)
+    R, t, inlier, n_in = pose_opt.pose_optimize_jit(cam, R0, t0, obs)
     assert int(n_in) > 150
     err_t = np.linalg.norm(np.asarray(t) - t_true)
     err_R = np.linalg.norm(np.asarray(lie.so3_log(R @ jnp.asarray(R_true).T)))
@@ -63,7 +68,7 @@ def test_rejects_outliers():
     cam, (R_true, t_true), obs, _ = make_scene(300, noise=0.3, outlier_frac=0.3)
     dR, dt = lie.se3_exp(jnp.asarray([0.02, 0.01, -0.02, 0.05, -0.05, 0.1]))
     R0, t0 = lie.se3_compose(dR, dt, jnp.asarray(R_true), jnp.asarray(t_true))
-    R, t, inlier, n_in = pose_opt.pose_optimize(cam, R0, t0, obs)
+    R, t, inlier, n_in = pose_opt.pose_optimize_jit(cam, R0, t0, obs)
     # ~70% inliers expected
     assert 150 < int(n_in) < 250
     err_t = np.linalg.norm(np.asarray(t) - t_true)
@@ -74,7 +79,7 @@ def test_stereo_edges():
     cam, (R_true, t_true), obs, _ = make_scene(150, stereo=True, noise=0.2)
     dR, dt = lie.se3_exp(jnp.asarray([0.02, -0.01, 0.02, -0.1, 0.08, 0.05]))
     R0, t0 = lie.se3_compose(dR, dt, jnp.asarray(R_true), jnp.asarray(t_true))
-    R, t, inlier, n_in = pose_opt.pose_optimize(cam, R0, t0, obs)
+    R, t, inlier, n_in = pose_opt.pose_optimize_jit(cam, R0, t0, obs)
     assert int(n_in) > 120
     assert np.linalg.norm(np.asarray(t) - t_true) < 0.01
 
@@ -82,13 +87,13 @@ def test_stereo_edges():
 def test_respects_valid_mask():
     cam, (R_true, t_true), obs, _ = make_scene(100, noise=0.2)
     # invalidate half; corrupt those measurements wildly
-    valid = np.ones(100, bool)
+    valid = np.asarray(obs.valid).copy()
     valid[50:] = False
-    uvr = np.asarray(obs.uvr)
-    uvr[50:, :2] += 500.0
+    uvr = np.asarray(obs.uvr).copy()
+    uvr[50:100, :2] += 500.0
     obs = obs._replace(uvr=jnp.asarray(uvr), valid=jnp.asarray(valid))
     R0, t0 = jnp.asarray(R_true), jnp.asarray(t_true)
-    R, t, inlier, n_in = pose_opt.pose_optimize(cam, R0, t0, obs)
+    R, t, inlier, n_in = pose_opt.pose_optimize_jit(cam, R0, t0, obs)
     assert int(n_in) <= 50
     assert np.linalg.norm(np.asarray(t) - t_true) < 0.01
     assert not np.asarray(inlier)[50:].any()

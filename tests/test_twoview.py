@@ -91,8 +91,9 @@ def test_initialize_general_scene_pose():
     good = np.asarray(res.good)
     assert good.sum() > 150
     scale = np.median(np.asarray(res.points)[good][:, 2] / X[good][:, 2])
-    np.testing.assert_allclose(np.asarray(res.points)[good] / scale, X[good],
-                               atol=0.25)
+    err = np.linalg.norm(np.asarray(res.points)[good] / scale - X[good], axis=1)
+    assert np.median(err) < 0.1, np.median(err)
+    assert (err < 0.5).mean() > 0.9
 
 
 def test_initialize_planar_scene_pose():
