@@ -1,0 +1,173 @@
+"""Non-rigid pose optimization: FEM-regularized relocalization.
+
+Functional equivalent of reference Optimizer::PoseOptimizationNR
+(src/Optimizer.cc:478-834, SURVEY.md §3.4), the deformable-SLAM centerpiece:
+optimize the frame pose AND the tracked landmark positions (the map is
+allowed to deform), with reprojection edges to the frame and to every
+observing keyframe (all keyframes fixed), while each LM trial's
+accept/reject cost is augmented with the FEM strain energy of the current
+landmark displacements:
+
+    tempChi = w_rE * reprojChi2 + w_sE * nsE      (w_rE = 1, w_sE = 5;
+                                                   2 on the first trial —
+    reference optimization_algorithm_levenberg.cpp:184-198)
+
+Pipeline per relocalization attempt (reference Optimizer.cc:719-788):
+mesh build (host Delaunay, ops/fem.build_mesh) -> batched element stiffness
+-> 4 x 10 LM iterations with strain-energy-augmented cost -> outlier
+reclassification -> write back pose + moved landmarks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie, ba, fem
+from ..ops.camera import Camera
+from ..ops import camera as cam_ops
+from .frame import Frame, scale_invsigma2
+from .map_state import MapState, INVALID
+from .tracking import TrackConfig
+
+
+class NRConfig(NamedTuple):
+    el_type: int = 1          # RelocParam.nElType: 1 = C3D6, 2 = C3D8
+    n_fixed_kfs: int = 8      # observing keyframes included (fixed)
+    obs_cap: int = 8192
+    pts_cap: int = 1024       # tracked landmark capacity (= frame F typically)
+    mesh_nodes: int = 4096
+    mesh_elems: int = 4096
+    w_se: float = fem.W_SE
+
+
+def _gather_problem(cam: Camera, cfg: TrackConfig, nr: NRConfig,
+                    state: MapState, frame: Frame):
+    """Build the BA problem: camera 0 = frame (free), cameras 1.. = top
+    observing keyframes (fixed); points = the frame's tracked landmarks
+    (reference Optimizer.cc:500-709: frame vertex free, KF vertices fixed,
+    point vertices FREE). Returns (prob, lm_ids, lm_rows_valid)."""
+    pid = frame.point_ids
+    okp = (pid >= 0) & frame.valid
+    P_cap = nr.pts_cap
+    (rows,) = jnp.nonzero(okp, size=P_cap, fill_value=0)
+    row_ok = okp[rows]
+    lm_ids = jnp.where(row_ok, pid[rows], 0)
+    # which KFs observe these landmarks — vote and take top n_fixed_kfs
+    marker = jnp.zeros((state.P,), jnp.int32).at[lm_ids].max(
+        row_ok.astype(jnp.int32))
+    kf_pt = jnp.where(state.kf_kp_valid, state.kf_kp_point, 0)
+    hits = marker[kf_pt] * (state.kf_kp_point >= 0) * state.kf_kp_valid
+    votes = jnp.sum(hits, axis=1) * state.kf_valid
+    top_v, top_k = jax.lax.top_k(votes, nr.n_fixed_kfs)
+    kf_ok = top_v > 0
+
+    # observations from frame (camera 0)
+    inv_sig_f = scale_invsigma2(frame.octave[rows], cfg.scale_factor)
+    o1_cam = jnp.zeros((P_cap,), jnp.int32)
+    o1_pt = jnp.arange(P_cap, dtype=jnp.int32)
+    o1_uvr = frame.uvr[rows]
+    o1_ok = row_ok
+
+    # observations from fixed KFs
+    p_row = jnp.full((state.P,), INVALID).at[lm_ids].max(
+        jnp.where(row_ok, jnp.arange(P_cap, dtype=jnp.int32), INVALID))
+    kp_pt = state.kf_kp_point[top_k]                       # (Nk, F)
+    kp_ok = state.kf_kp_valid[top_k] & (kp_pt >= 0) & kf_ok[:, None]
+    prow = p_row[jnp.where(kp_pt >= 0, kp_pt, 0)]
+    o_ok = kp_ok & (prow >= 0)
+    flat_ok = o_ok.reshape(-1)
+    (sel,) = jnp.nonzero(flat_ok, size=nr.obs_cap - P_cap, fill_value=0)
+    live = flat_ok[sel]
+    o2_cam = (sel // state.F + 1).astype(jnp.int32)
+    o2_pt = prow.reshape(-1)[sel]
+    o2_uvr = state.kf_kp_uvr[top_k].reshape(-1, 3)[sel]
+    o2_sig = scale_invsigma2(
+        state.kf_kp_octave[top_k].reshape(-1)[sel], cfg.scale_factor)
+
+    prob = ba.BAProblem(
+        cam_pose7=jnp.concatenate([frame.pose7[None], state.kf_pose7[top_k]]),
+        cam_free=jnp.zeros((1 + nr.n_fixed_kfs,), bool).at[0].set(True),
+        points=state.lm_xyz[lm_ids],
+        point_valid=row_ok,
+        obs_cam=jnp.concatenate([o1_cam, o2_cam]),
+        obs_point=jnp.concatenate([o1_pt, jnp.where(live, o2_pt, 0)]),
+        obs_uvr=jnp.concatenate([o1_uvr, o2_uvr]),
+        obs_inv_sigma2=jnp.concatenate([inv_sig_f, o2_sig]),
+        obs_valid=jnp.concatenate([o1_ok, live]),
+    )
+    return prob, rows, lm_ids, row_ok
+
+
+@jax.jit
+def _ba_solve_nr(cam: Camera, prob: ba.BAProblem, mesh: fem.FemMesh,
+                 ke_all, parent_map, w_se):
+    """Strain-energy-augmented BA, compiled once per mesh capacity."""
+    def extra_cost(pts):
+        tracked = pts[parent_map]
+        node_pos = fem.node_positions(mesh, tracked)
+        return w_se * fem.strain_energy(mesh, ke_all, node_pos)
+
+    return ba.ba_solve(cam, prob, iters_phase1=10, iters_phase2=10,
+                       extra_cost_fn=extra_cost)
+
+
+def pose_optimization_nr(cam: Camera, cfg: TrackConfig, nr: NRConfig,
+                         state: MapState, frame: Frame):
+    """Run the FEM-regularized pose+points optimization.
+
+    Host orchestration: gathers the problem, builds the mesh (Delaunay on
+    the frame projections), then runs the jitted strain-augmented BA.
+    Returns (frame', state', n_good, ok)."""
+    prob, rows, lm_ids, row_ok = _gather_problem(cam, cfg, nr, state, frame)
+    n_pts = int(jnp.sum(row_ok))
+    if n_pts < 12:
+        return frame, state, 0, False
+    pts_np = np.asarray(prob.points)
+    ok_np = np.asarray(row_ok)
+    # project with current pose estimate for the 2.5D triangulation domain
+    R, t = lie.pose7_unpack(frame.pose7)
+    uv_np = np.asarray(cam_ops.project(cam, lie.se3_apply(R, t,
+                                                          prob.points))[0])
+    idx_real = np.where(ok_np)[0]
+    mesh = fem.build_mesh(pts_np[idx_real], uv_np[idx_real],
+                          el_type=nr.el_type, max_nodes=nr.mesh_nodes,
+                          max_elems=nr.mesh_elems)
+    if mesh is None:
+        return frame, state, 0, False
+    ke_all = fem.element_stiffness_batch(mesh)
+    # map mesh parent indices (into idx_real order) -> problem point rows,
+    # padded to pts_cap so every reloc attempt reuses one compilation
+    pm = np.zeros((nr.pts_cap,), np.int32)
+    pm[:len(idx_real)] = idx_real
+    parent_map = jnp.asarray(pm)
+
+    res = _ba_solve_nr(cam, prob, mesh, ke_all, parent_map,
+                       jnp.float32(nr.w_se))
+    n_good = int(jnp.sum(res.obs_inlier[:nr.pts_cap]))
+    # write back: frame pose + moved landmark positions
+    frame = frame._replace(pose7=res.cam_pose7[0])
+    moved = row_ok
+    state = state._replace(
+        lm_xyz=state.lm_xyz.at[lm_ids].set(
+            jnp.where(moved[:, None], res.points, state.lm_xyz[lm_ids])),
+        lm_rigid=state.lm_rigid.at[lm_ids].set(
+            jnp.where(moved, jnp.int8(2), state.lm_rigid[lm_ids])))
+    return frame, state, n_good, True
+
+
+def set_rigidity_flags(state: MapState, frame: Frame,
+                       rigid: bool) -> MapState:
+    """Tag the frame's tracked landmarks rigid / non-rigid (E-addition,
+    reference Tracking::SetRigidityFlag, src/Tracking.cc:2242-2268)."""
+    pid = frame.point_ids
+    okp = (pid >= 0) & frame.valid
+    flag = jnp.int8(1 if rigid else 2)
+    safe = jnp.where(okp, pid, 0)
+    return state._replace(
+        lm_rigid=state.lm_rigid.at[safe].set(
+            jnp.where(okp, flag, state.lm_rigid[safe])))

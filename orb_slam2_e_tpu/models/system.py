@@ -60,6 +60,11 @@ class SystemConfig:
     depth_map_factor: float = 1.0
     min_frames_between_kf: int = 0
     max_frames_between_kf: int = 30      # ~fps (reference mMaxFrames = fps)
+    min_init_matches: int = 100          # mono init gate (reference
+                                         # Tracking.cc:728 with a 2x-feature
+                                         # init extractor; scale down when
+                                         # running small feature budgets)
+    min_init_points: int = 80
     local_ba: bool = True
     mapping: bool = True                  # False = localization-only mode
 
@@ -218,12 +223,13 @@ class SlamSystem:
         if self.sensor in (Sensor.RGBD, Sensor.STEREO):
             return self._initialize_depth(frame, timestamp)
         # monocular two-frame bootstrap (reference Tracking.cc:681-934)
-        if self.init_frame is None or int(jnp.sum(frame.valid)) < 100:
-            self.init_frame = frame if int(jnp.sum(frame.valid)) >= 100 else None
+        m = self.cfg.min_init_matches
+        if self.init_frame is None or int(jnp.sum(frame.valid)) < m:
+            self.init_frame = frame if int(jnp.sum(frame.valid)) >= m else None
             self.init_ts = timestamp
             return False
         midx, n_m = T.mono_init_match(self.track_cfg, self.init_frame, frame)
-        if int(n_m) < 100:
+        if int(n_m) < m:
             self.init_frame = frame  # slide the reference forward
             self.init_ts = timestamp
             return False

@@ -165,14 +165,24 @@ def _apply_updates(cam_pose7, points, dxc, dxp, point_valid):
 
 
 def ba_solve(cam: Camera, prob: BAProblem, iters_phase1: int = 5,
-             iters_phase2: int = 10) -> BAResult:
+             iters_phase2: int = 10, extra_cost_fn=None) -> BAResult:
     """Dense-Schur LM bundle adjustment (local BA / small GBA).
 
     Two phases with outlier reclassification in between, mirroring
     reference Optimizer::LocalBundleAdjustment (src/Optimizer.cc:1003-1033).
+
+    extra_cost_fn(points) -> scalar: optional additive term in the LM
+    accept/reject cost. This is how the deformable mode embeds the FEM
+    strain energy into the optimization — exactly the reference's modified
+    g2o LM, which adds w_sE * nsE to tempChi before the rho-test but keeps
+    the reprojection-only normal equations (reference
+    optimization_algorithm_levenberg.cpp:145-199).
     """
     C = prob.cam_pose7.shape[0]
     P = prob.points.shape[0]
+
+    def extra(pts):
+        return extra_cost_fn(pts) if extra_cost_fn is not None else 0.0
 
     def lm_step(state, robust, extra_mask):
         pose7, pts, lam = state
@@ -180,6 +190,7 @@ def ba_solve(cam: Camera, prob: BAProblem, iters_phase1: int = 5,
         p = prob._replace(cam_pose7=pose7, points=pts)
         r, Jc, Jp, behind = _residual_jacobians(cam, R, t, p)
         w, chi2, cost, live = _weights(p, r, behind, robust, extra_mask)
+        cost = cost + extra(pts)
         Hcc, bc, Hpp, bp, Hcp = _build_normal_blocks(p, r, Jc, Jp, w, C, P)
         # never move points nobody observes (weights sum to 0 -> Hpp ~ 0)
         dxc, dxp = _schur_solve_dense(Hcc, bc, Hpp, bp, Hcp, prob.cam_free, lam)
@@ -189,6 +200,7 @@ def ba_solve(cam: Camera, prob: BAProblem, iters_phase1: int = 5,
         pn = prob._replace(cam_pose7=pose_n, points=pts_n)
         rn, _, _, behind_n = _residual_jacobians(cam, Rn, tn, pn)
         _, _, cost_n, _ = _weights(pn, rn, behind_n, robust, extra_mask)
+        cost_n = cost_n + extra(pts_n)
         accept = cost_n < cost
         pose7 = jnp.where(accept, pose_n, pose7)
         pts = jnp.where(accept, pts_n, pts)
@@ -225,7 +237,8 @@ def ba_solve(cam: Camera, prob: BAProblem, iters_phase1: int = 5,
                     final_cost=cost)
 
 
-ba_solve_jit = jax.jit(ba_solve, static_argnames=('iters_phase1', 'iters_phase2'))
+ba_solve_jit = jax.jit(ba_solve, static_argnames=('iters_phase1', 'iters_phase2',
+                                                  'extra_cost_fn'))
 
 
 # ---------------------------------------------------------------------------
@@ -275,6 +288,8 @@ def ba_solve_pcg(cam: Camera, prob: BAProblem, n_outer: int = 10,
         p = prob._replace(cam_pose7=pose7, points=pts)
         r, Jc, Jp, behind = _residual_jacobians(cam, R, t, p)
         w, chi2, cost, live = _weights(p, r, behind, robust)
+        if psum is not None:
+            cost = psum(cost)   # accept/reject must agree across shards
         wJc = Jc * w[:, None, None]
         Hcc = jnp.zeros((C, 6, 6)).at[prob.obs_cam].add(
             jnp.einsum('oij,oik->ojk', wJc, Jc))
@@ -347,6 +362,8 @@ def ba_solve_pcg(cam: Camera, prob: BAProblem, n_outer: int = 10,
         pn = prob._replace(cam_pose7=pose_n, points=pts_n)
         rn, _, _, behind_n = _residual_jacobians(cam, Rn, tn, pn)
         _, _, cost_n, _ = _weights(pn, rn, behind_n, robust)
+        if psum is not None:
+            cost_n = psum(cost_n)
         accept = cost_n < cost
         pose7 = jnp.where(accept, pose_n, pose7)
         pts = jnp.where(accept, pts_n, pts)
@@ -365,6 +382,8 @@ def ba_solve_pcg(cam: Camera, prob: BAProblem, n_outer: int = 10,
     chi_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
     final_inlier = (chi2 <= chi_th) & ~behind & prob.obs_valid
     _, _, cost, _ = _weights(p, r, behind, False)
+    if psum is not None:
+        cost = psum(cost)
     return BAResult(cam_pose7=pose7, points=pts, obs_inlier=final_inlier,
                     final_cost=cost)
 

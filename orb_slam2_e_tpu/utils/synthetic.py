@@ -30,9 +30,9 @@ class SyntheticScene:
             rng.uniform(-ey, ey, n_points),
             rng.uniform(depth[0], depth[1], n_points)], 1).astype(np.float32)
         self.intensity = rng.uniform(60, 255, n_points).astype(np.float32)
-        self.size = rng.uniform(0.06, 0.16, n_points).astype(np.float32)  # meters
-        # a second tone per square makes patches asymmetric (better descriptors)
-        self.tone = rng.uniform(30, 220, n_points).astype(np.float32)
+        self.size = rng.uniform(0.08, 0.18, n_points).astype(np.float32)  # meters
+        # per-square 3x3 texture pattern -> distinctive BRIEF descriptors
+        self.pattern = rng.uniform(25, 235, (n_points, 3, 3)).astype(np.float32)
         self.W, self.H = width, height
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
 
@@ -52,13 +52,15 @@ class SyntheticScene:
             y0, y1 = int(round(v)) - half, int(round(v)) + half
             if x1 < 0 or y1 < 0 or x0 >= self.W or y0 >= self.H:
                 continue
-            xs0, xs1 = max(x0, 0), min(x1, self.W)
-            ys0, ys1 = max(y0, 0), min(y1, self.H)
-            img[ys0:ys1, xs0:xs1] = self.intensity[i]
-            # inner half-square with second tone -> asymmetric patch
-            mx = (x0 + x1) // 2
-            my = (y0 + y1) // 2
-            img[max(y0, 0):min(my, self.H), max(x0, 0):min(mx, self.W)] = self.tone[i]
+            # 3x3 per-square texture pattern
+            xe = np.round(np.linspace(x0, x1, 4)).astype(int)
+            ye = np.round(np.linspace(y0, y1, 4)).astype(int)
+            for a in range(3):
+                for b in range(3):
+                    xs0, xs1 = max(xe[b], 0), min(xe[b + 1], self.W)
+                    ys0, ys1 = max(ye[a], 0), min(ye[a + 1], self.H)
+                    if xs1 > xs0 and ys1 > ys0:
+                        img[ys0:ys1, xs0:xs1] = self.pattern[i, a, b]
         return img
 
     def depth_map(self, R: np.ndarray, t: np.ndarray) -> np.ndarray:
