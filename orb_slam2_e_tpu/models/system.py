@@ -58,6 +58,9 @@ class SystemConfig:
     min_th_fast: float = 7.0
     th_depth: float = 35.0
     depth_map_factor: float = 1.0
+    deformable: bool = False             # E mode: dual rigid/non-rigid reloc
+    el_type: int = 1                     # RelocParam.nElType (1=C3D6, 2=C3D8)
+    loop_closing: bool = True
     min_frames_between_kf: int = 0
     max_frames_between_kf: int = 30      # ~fps (reference mMaxFrames = fps)
     min_init_matches: int = 100          # mono init gate (reference
@@ -75,7 +78,8 @@ class SystemConfig:
             n_levels=s.orb.n_levels, ini_th_fast=s.orb.ini_th_fast,
             min_th_fast=s.orb.min_th_fast, th_depth=s.th_depth,
             depth_map_factor=s.depth_map_factor,
-            max_frames_between_kf=int(s.fps))
+            max_frames_between_kf=int(s.fps),
+            el_type=s.reloc.el_type)
 
 
 class SlamSystem:
@@ -120,7 +124,18 @@ class SlamSystem:
         self.trajectory = []      # (timestamp, pose7 np, state)
         self.localization_only = not self.cfg.mapping
         self.stats = {"kf_inserted": 0, "points_created": 0,
-                      "points_culled": 0, "kf_culled": 0}
+                      "points_culled": 0, "kf_culled": 0, "relocs": 0,
+                      "loops_closed": 0}
+        # place recognition: vocabulary is trained lazily from the first
+        # keyframes' descriptors (the reference loads a pretrained ORBvoc;
+        # ours trains on-domain — ops/bow.py docstring)
+        self.vocab = None
+        self.bow_db = None
+        from ..utils.stats import RelocKpi
+        from .loop_closing import LoopDetector
+        self.kpi = RelocKpi()
+        self.loop_detector = LoopDetector()
+        self.last_loop_kf = -1000
 
     def activate_localization_mode(self):
         """Reference System::ActivateLocalizationMode."""
@@ -193,12 +208,21 @@ class SlamSystem:
             self.map = T.update_visibility_counters(self.map, visible, found)
             n_in = int(n_in)
             ok = n_in >= self.track_cfg.min_inliers_map
+        if not ok and self.state == TrackState.LOST:
+            # already lost: attempt relocalization (reference Tracking.cc:392)
+            frame, ok = self._relocalize(frame)
         if not ok:
+            was_ok = self.state == TrackState.OK
             self.state = TrackState.LOST
             self.velocity7 = None
+            self.kpi.on_frame_lost(self.frame_id)
+            if was_ok and self.n_keyframes <= 5 and not self.localization_only:
+                # lost right after init: restart (reference Tracking.cc:590-598)
+                self.reset()
             self._record(timestamp, None)
             self.last_frame = frame
             return None
+        self.kpi.on_frame_tracked(self.frame_id)
 
         self.state = TrackState.OK
         # velocity = Tcw_cur * Twc_last (reference Tracking.cc:545-552)
@@ -213,6 +237,120 @@ class SlamSystem:
         self._record(timestamp, frame)
         self.last_frame = frame
         return self._last_pose()
+
+    # ------------------------------------------------- place recognition
+    def _ensure_vocab(self):
+        """Train the BoW vocabulary from accumulated keyframe descriptors
+        once enough are available; backfill the database."""
+        if self.vocab is not None or self.n_keyframes < 4:
+            return
+        from ..ops import bow
+        from . import kf_database as KFDB
+        kf_ok = np.asarray(self.map.kf_valid)
+        desc = np.asarray(self.map.kf_desc)[kf_ok]
+        kp_ok = np.asarray(self.map.kf_kp_valid)[kf_ok]
+        corpus = desc.reshape(-1, 32)[kp_ok.reshape(-1)]
+        if len(corpus) < 2000:
+            return
+        self.vocab = bow.train_vocabulary(corpus, k=8, L=3, iters=4)
+        self.bow_db = KFDB.BowDatabase.create(self.cfg.max_keyframes,
+                                              self.vocab.n_words)
+        for slot in np.where(kf_ok)[0]:
+            self._db_add(int(slot))
+
+    def _bow_vec(self, desc, valid):
+        from ..ops import bow
+        words, v = bow.transform(self.vocab, desc, valid)
+        return bow.bow_vector(self.vocab, words, valid)
+
+    def _db_add(self, slot: int):
+        if self.vocab is None:
+            return
+        vec = self._bow_vec(self.map.kf_desc[slot],
+                            self.map.kf_kp_valid[slot])
+        self.bow_db = self.bow_db.add(jnp.int32(slot), vec)
+
+    # ------------------------------------------------- relocalization
+    def _relocalize(self, frame: Frame):
+        """Reference Tracking::Relocalization (SURVEY.md §3.3); in
+        deformable mode runs the rigid and FEM-regularized optimizations
+        side by side and keeps the better (reference Tracking.cc:1951-2107)."""
+        from . import relocalization as RELOC
+        from . import kf_database as KFDB
+        self._ensure_vocab()
+        if self.vocab is None:
+            return frame, False
+        q = self._bow_vec(frame.desc, frame.valid)
+        cand, scores = KFDB.detect_relocalization_candidates(self.bow_db, q)
+        cand_ok = scores > 0
+        if not bool(jnp.any(cand_ok)):
+            self.kpi.on_reloc_fail()
+            return frame, False
+        self.key, k = jax.random.split(self.key)
+        frame_r, ok_r, n_r = RELOC.relocalize(
+            k, self.cam, self.track_cfg, self.map, frame, cand, cand_ok)
+        if self.cfg.deformable and ok_r:
+            # non-rigid pass from the rigid solution (dual R/NR protocol)
+            from . import deformable as DEF
+            nr_cfg = DEF.NRConfig(el_type=self.cfg.el_type,
+                                  pts_cap=self.extractor.capacity)
+            frame_nr, map_nr, n_nr, ran = DEF.pose_optimization_nr(
+                self.cam, self.track_cfg, nr_cfg, self.map, frame_r)
+            if ran and n_nr >= max(n_r, 10):
+                self.map = DEF.set_rigidity_flags(map_nr, frame_nr, False)
+                frame_r, n_r = frame_nr, n_nr
+            else:
+                self.map = DEF.set_rigidity_flags(self.map, frame_r, True)
+        if ok_r:
+            self.stats["relocs"] += 1
+            self.kpi.on_reloc_success(self.frame_id)
+            self.state = TrackState.OK
+            return frame_r, True
+        self.kpi.on_reloc_fail()
+        return frame, False
+
+    # ------------------------------------------------- loop closing
+    def _try_close_loop(self, kf_slot: int):
+        """Reference LoopClosing::Run body, invoked per new keyframe."""
+        from . import kf_database as KFDB
+        from . import loop_closing as LC
+        if self.vocab is None or self.n_keyframes < 10:
+            return
+        if kf_slot - self.last_loop_kf < 10 and self.last_loop_kf >= 0:
+            return
+        q = self._bow_vec(self.map.kf_desc[kf_slot],
+                          self.map.kf_kp_valid[kf_slot])
+        covis = self.map.covisibility_row(jnp.int32(kf_slot))
+        exclude = (covis > 0) | ~self.map.kf_valid
+        exclude = exclude.at[kf_slot].set(True)
+        # min score among covisible keyframes (reference LoopClosing.cc:120)
+        covis_slots = np.where(np.asarray(covis) >= 15)[0]
+        min_score = 0.05
+        if len(covis_slots) and self.bow_db is not None:
+            s = np.asarray(KFDB.query_scores(self.bow_db, q))[covis_slots]
+            if len(s):
+                min_score = max(float(s.min()), 0.01)
+        cand, scores = KFDB.detect_loop_candidates(
+            self.bow_db, q, exclude, jnp.float32(min_score))
+        cand_list = [int(c) for c, s in zip(np.asarray(cand),
+                                            np.asarray(scores)) if s > 0]
+        confirmed = self.loop_detector.update(cand_list)
+        if not confirmed:
+            return
+        loop_kf = confirmed[0]
+        self.key, k = jax.random.split(self.key)
+        fix_scale = self.sensor != Sensor.MONOCULAR
+        R12, t12, s12, n_in = LC.compute_sim3(
+            k, self.cam, self.map, jnp.int32(kf_slot), jnp.int32(loop_kf),
+            self.cfg.scale_factor, fix_scale)
+        if int(n_in) < LC.MIN_SIM3_INLIERS:
+            return
+        self.map, _ = LC.correct_and_optimize_graph(
+            self.map, jnp.int32(kf_slot), jnp.int32(loop_kf), R12, t12, s12)
+        self.map = LC.global_ba(self.cam, self.map, self.cfg.scale_factor)
+        self.loop_detector.reset()
+        self.last_loop_kf = kf_slot
+        self.stats["loops_closed"] += 1
 
     def _predict_pose(self):
         Rv, tv = lie.pose7_unpack(self.velocity7)
@@ -308,11 +446,18 @@ class SlamSystem:
             self.map, _ = LM.local_ba(self.cam, self.map_cfg, self.map, kf)
         if self.n_keyframes > 4:
             self.map, victim = LM.cull_keyframes(self.map_cfg, self.map, kf)
+            if int(victim) >= 0 and self.bow_db is not None:
+                self.bow_db = self.bow_db.erase(jnp.int32(int(victim)))
             if int(victim) >= 0:
                 self.n_keyframes -= 1
                 self.stats["kf_culled"] += 1
         self.stats["points_created"] += int(n_new)
         self.stats["points_culled"] += int(n_culled)
+        # place recognition upkeep + loop closing
+        self._ensure_vocab()
+        self._db_add(slot)
+        if self.cfg.loop_closing:
+            self._try_close_loop(slot)
 
     # ------------------------------------------------------------ trajectory
     def _record(self, timestamp, frame):
@@ -371,6 +516,29 @@ class SlamSystem:
             return np.zeros((0,), np.int32)
         pid = np.asarray(self.last_frame.point_ids)
         return pid[pid >= 0]
+
+    def save_map(self, path):
+        """Reference System::SaveMap (E-addition) — npz checkpoint of the
+        full SoA map plus session counters."""
+        from ..utils import map_io
+        map_io.save_map(path, self.map, extra={
+            "last_kf_slot": self.last_kf_slot,
+            "n_keyframes": self.n_keyframes,
+            "frame_id": self.frame_id,
+        })
+
+    def load_map(self, path):
+        """Reference Tracking::LoadMap/BuildLoadedMap — restore a map
+        checkpoint and enter localization mode against it."""
+        from ..utils import map_io
+        self.map, extra = map_io.load_map(path)
+        self.last_kf_slot = int(extra.get("last_kf_slot", 0))
+        self.n_keyframes = int(extra.get("n_keyframes",
+                                         int(self.map.n_keyframes())))
+        self.state = TrackState.LOST      # relocalize against the loaded map
+        self.vocab = None                 # retrain vocab from the loaded KFs
+        self.bow_db = None
+        self._ensure_vocab()
 
     def shutdown(self):
         """Reference System::Shutdown (no threads to join here)."""

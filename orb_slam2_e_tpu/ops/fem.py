@@ -123,6 +123,7 @@ def build_mesh(points: np.ndarray, uv: np.ndarray, el_type: int = 1,
     nrm = np.linalg.norm(v_norm, axis=1, keepdims=True)
     v_norm = v_norm / np.maximum(nrm, 1e-12)
 
+    half = max_nodes // 2   # layer-2 nodes live at [half, half + n_surf)
     if el_type == 1:
         # C3D6: surface nodes = tracked points; prisms = extruded triangles
         surf_pos = points.astype(np.float64)
@@ -133,7 +134,7 @@ def build_mesh(points: np.ndarray, uv: np.ndarray, el_type: int = 1,
         n_surf = N
         tri_nodes = simplices
         elems = np.concatenate([
-            tri_nodes, tri_nodes + n_surf,
+            tri_nodes, tri_nodes + half,
             np.full((len(tri_nodes), 2), -1)], axis=1)  # (T, 8): 6 used
     else:
         # C3D8 via tri2quad: nodes = vertices + edge midpoints + barycenters
@@ -180,21 +181,21 @@ def build_mesh(points: np.ndarray, uv: np.ndarray, el_type: int = 1,
             bc = N + n_edges + t
             quads += [(i, mij, bc, mki), (j, mjk, bc, mij), (k, mki, bc, mjk)]
         quads = np.asarray(quads, np.int64)
-        elems = np.concatenate([quads, quads + n_surf], axis=1)  # (3T, 8)
+        elems = np.concatenate([quads, quads + half], axis=1)  # (3T, 8)
 
-    if n_surf * 2 > max_nodes or len(elems) > max_elems:
+    if n_surf > half or len(elems) > max_elems:
         return None
     # layer-2 nodes: extrude along -normal (reference SetSecondLayer offsets
     # by -h; normal extrusion keeps element volumes positive for any surface
     # orientation)
     pos2 = surf_pos - h * normals
-    u0 = np.concatenate([surf_pos, pos2], axis=0)
 
-    # pad to static shapes
+    # pad to static shapes: layer-1 at [0, half), layer-2 at [half, M)
     M = max_nodes
     Ne = max_elems
     u0_p = np.zeros((M, 3), np.float32)
-    u0_p[:2 * n_surf] = u0
+    u0_p[:n_surf] = surf_pos
+    u0_p[half:half + n_surf] = pos2
     el_p = np.full((Ne, 8), 0, np.int64)
     ev = np.zeros(Ne, bool)
     el_p[:len(elems)] = np.where(elems >= 0, elems, 0)

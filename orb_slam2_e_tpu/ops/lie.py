@@ -69,18 +69,23 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """Log map SO(3) -> so(3). Safe for angles in [0, pi)."""
+    """Log map SO(3) -> so(3). Safe for angles in [0, pi), and
+    autodiff-safe at the identity (pose-graph GN differentiates through
+    this): branch selection happens on pre-sqrt/pre-arccos quantities with
+    sanitized inputs so no inf gradient leaks through `jnp.where`."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w_vee = so3_vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
-    sin_t = jnp.sin(theta)
-    small = theta < 1e-5
-    # theta/sin(theta) with Taylor fallback.
-    scale = jnp.where(small, 1.0 + theta**2 / 6.0, theta / jnp.where(small, 1.0, sin_t))
+    sin2 = jnp.sum(w_vee * w_vee, axis=-1)
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    near_pi = cos_t < -0.99                      # theta > ~3.0 rad
+    small = (sin2 < 1e-12) & ~near_pi            # near identity
+    safe_cos = jnp.where(small, 0.0, jnp.clip(cos_t, -0.9999999, 0.9999999))
+    theta = jnp.arccos(safe_cos)                 # correct for generic+near-pi
+    sin_t = jnp.sqrt(jnp.where(sin2 < 1e-12, 1.0, sin2))
+    # theta/sin(theta); Taylor near identity: theta^2 ~ 3 - trace
+    scale = jnp.where(small, 1.0 + (3.0 - trace) / 6.0, theta / sin_t)
     w = w_vee * scale[..., None]
     # Near theta == pi, sin(theta) ~ 0: recover axis from diag(R) instead.
-    near_pi = theta > 3.0
     # R = I + 2*axis axis^T - ... => axis_i^2 = (R_ii + 1) / 2
     axis_abs = jnp.sqrt(jnp.maximum((jnp.stack(
         [R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1) + 1.0) * 0.5, 0.0))

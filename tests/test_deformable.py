@@ -1,0 +1,148 @@
+"""Non-rigid (FEM-regularized) pose optimization — the E centerpiece.
+
+Scenario modeled on the reference's deformable relocalization evaluation
+(SURVEY.md §3.3/§3.4, BASELINE.md reloc inliers rigid vs non-rigid): a map
+is built on an undeformed surface; the surface then deforms; relocalizing
+rigidly leaves many reprojection outliers, while the non-rigid optimization
+moves the landmarks (paying FEM strain energy) and recovers more inliers.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orb_slam2_e_tpu.ops import lie
+from orb_slam2_e_tpu.ops.camera import Camera
+from orb_slam2_e_tpu.models.map_state import MapState
+from orb_slam2_e_tpu.models.frame import Frame
+from orb_slam2_e_tpu.models.tracking import TrackConfig, optimize_frame_pose
+from orb_slam2_e_tpu.models import deformable as DEF
+
+
+def build_deformed_problem(n_grid=9, defmag=0.15, seed=0, noise=0.3):
+    """Map: grid surface at z=5 observed by 2 KFs. Frame observes the
+    DEFORMED surface from a known pose."""
+    rng = np.random.RandomState(seed)
+    cam = Camera.create(fx=400.0, fy=400.0, cx=240.0, cy=180.0,
+                        width=480, height=360)
+    F = 128
+    n = n_grid * n_grid
+    xs, ys = np.meshgrid(np.linspace(-1.5, 1.5, n_grid),
+                         np.linspace(-1.2, 1.2, n_grid))
+    pts = np.stack([xs.ravel(), ys.ravel(), np.full(n, 5.0)], 1).astype(np.float32)
+    # deformed surface: smooth bump
+    pts_def = pts.copy()
+    pts_def[:, 2] += defmag * np.exp(-(pts[:, 0] ** 2 + pts[:, 1] ** 2))
+
+    state = MapState.create(max_keyframes=8, max_features=F, max_points=256)
+
+    def project(R, t, X):
+        xc = (R @ X.T).T + t
+        return np.stack([400 * xc[:, 0] / xc[:, 2] + 240,
+                         400 * xc[:, 1] / xc[:, 2] + 180], 1), xc[:, 2]
+
+    # two keyframes observing the UNDEFORMED map
+    kf_poses = [(np.eye(3, dtype=np.float32), np.zeros(3, np.float32))]
+    R1 = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.1, 0.0])),
+                    dtype=np.float32)
+    kf_poses.append((R1, np.asarray([-0.3, 0, 0], np.float32)))
+
+    state = state._replace(
+        lm_xyz=state.lm_xyz.at[:n].set(jnp.asarray(pts)),
+        lm_valid=state.lm_valid.at[:n].set(True),
+    )
+    for s, (R, t) in enumerate(kf_poses):
+        uv, z = project(R, t, pts)
+        uvr = np.concatenate([uv, np.full((n, 1), -1.0)], 1).astype(np.float32)
+        kp_uvr = np.zeros((F, 3), np.float32)
+        kp_uvr[:n] = uvr
+        kp_pt = np.full(F, -1, np.int32)
+        kp_pt[:n] = np.arange(n)
+        kp_ok = np.zeros(F, bool)
+        kp_ok[:n] = True
+        state = state.add_keyframe(
+            s, lie.pose7_pack(jnp.asarray(R), jnp.asarray(t)), s, 0.0,
+            jnp.asarray(kp_uvr), jnp.zeros(F, jnp.int32), jnp.zeros(F),
+            jnp.asarray(kp_ok), jnp.zeros((F, 32), jnp.uint8),
+            jnp.asarray(kp_pt))
+
+    # the query frame sees the DEFORMED surface from a known pose
+    R_f = np.asarray(lie.so3_exp(jnp.asarray([0.02, -0.05, 0.01])),
+                     dtype=np.float32)
+    t_f = np.asarray([0.1, 0.05, -0.1], np.float32)
+    uv_f, z_f = project(R_f, t_f, pts_def)
+    uv_f += rng.randn(n, 2) * noise
+    kp_uvr = np.zeros((F, 3), np.float32)
+    kp_uvr[:n, :2] = uv_f
+    kp_uvr[:, 2] = -1.0
+    pid = np.full(F, -1, np.int32)
+    pid[:n] = np.arange(n)
+    ok = np.zeros(F, bool)
+    ok[:n] = True
+    frame = Frame(
+        pose7=lie.pose7_pack(jnp.asarray(R_f), jnp.asarray(t_f)),
+        uvr=jnp.asarray(kp_uvr), uv_raw=jnp.asarray(kp_uvr[:, :2]),
+        octave=jnp.zeros(F, jnp.int32), angle=jnp.zeros(F),
+        response=jnp.zeros(F), desc=jnp.zeros((F, 32), jnp.uint8),
+        valid=jnp.asarray(ok), point_ids=jnp.asarray(pid),
+        depth=jnp.full(F, -1.0))
+    return cam, state, frame, pts, pts_def, (R_f, t_f)
+
+
+@pytest.mark.parametrize("el_type", [1, 2])
+def test_nr_beats_rigid_on_deformed_map(el_type):
+    cam, state, frame, pts, pts_def, (R_f, t_f) = build_deformed_problem(
+        defmag=0.25)
+    cfg = TrackConfig(n_levels=4)
+    # rigid: optimize pose only against the undeformed map
+    frame_r, n_rigid = optimize_frame_pose(cam, cfg, state, frame)
+    # non-rigid: pose + points with FEM regularization
+    nr = DEF.NRConfig(el_type=el_type, pts_cap=128, obs_cap=1024,
+                      n_fixed_kfs=4, mesh_nodes=1024, mesh_elems=1024)
+    frame_nr, state_nr, n_nr, ran = DEF.pose_optimization_nr(
+        cam, cfg, nr, state, frame)
+    assert ran
+    # the E result: non-rigid recovers more inliers on the deformed map
+    # (reference StatsReloc nGoodR 18-58 -> nGoodNR 46-130)
+    assert int(n_nr) > int(n_rigid), (int(n_nr), int(n_rigid))
+    n = len(pts)
+    assert int(n_nr) >= 0.8 * n
+
+
+def test_nr_moves_landmarks_toward_deformed():
+    cam, state, frame, pts, pts_def, _ = build_deformed_problem(defmag=0.25)
+    cfg = TrackConfig(n_levels=4)
+    nr = DEF.NRConfig(el_type=1, pts_cap=128, obs_cap=1024, n_fixed_kfs=4,
+                      mesh_nodes=1024, mesh_elems=1024)
+    _, state_nr, n_nr, ran = DEF.pose_optimization_nr(cam, cfg, nr, state,
+                                                      frame)
+    assert ran
+    n = len(pts)
+    moved = np.asarray(state_nr.lm_xyz[:n])
+    err_before = np.linalg.norm(pts - pts_def, axis=1).mean()
+    err_after = np.linalg.norm(moved - pts_def, axis=1).mean()
+    # landmarks should move toward the deformed truth (not necessarily all
+    # the way: frame obs constrain 2 dof/pt; KF edges + FEM resist)
+    assert err_after < err_before, (err_after, err_before)
+    # rigidity flags updated
+    assert (np.asarray(state_nr.lm_rigid[:n]) == 2).all()
+
+
+def test_nr_pose_recovery_on_rigid_scene():
+    """With NO deformation, NR must not harm: pose error stays small and
+    strain energy keeps landmarks near their map positions."""
+    cam, state, frame, pts, pts_def, (R_f, t_f) = build_deformed_problem(
+        defmag=0.0, noise=0.2)
+    cfg = TrackConfig(n_levels=4)
+    nr = DEF.NRConfig(el_type=1, pts_cap=128, obs_cap=1024, n_fixed_kfs=4,
+                      mesh_nodes=1024, mesh_elems=1024)
+    frame_nr, state_nr, n_nr, ran = DEF.pose_optimization_nr(
+        cam, cfg, nr, state, frame)
+    assert ran
+    n = len(pts)
+    assert int(n_nr) >= 0.9 * n
+    R, t = lie.pose7_unpack(frame_nr.pose7)
+    assert np.linalg.norm(np.asarray(t) - t_f) < 0.05
+    drift = np.linalg.norm(np.asarray(state_nr.lm_xyz[:n]) - pts, axis=1)
+    assert np.median(drift) < 0.05

@@ -31,9 +31,13 @@ def test_build_mesh(el_type):
     n_act = int(mesh.n_nodes_active)
     assert n_act >= 2 * len(pts)
     assert int(mesh.elem_valid.sum()) > 10
-    # every valid element references in-range nodes
+    # every valid element references in-range nodes: layer-1 in [0, ns),
+    # layer-2 in [half, half + ns) where half = capacity // 2
     el = np.asarray(mesh.elements)[np.asarray(mesh.elem_valid)]
-    assert el.max() < n_act
+    half = mesh.u0.shape[0] // 2
+    ns = n_act // 2
+    used = el[el >= 0]
+    assert ((used < ns) | ((used >= half) & (used < half + ns))).all()
     if el_type == 1:
         assert (el[:, 6:] == -1).all()   # prism rows: 6 nodes
     else:

@@ -1,0 +1,98 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_e_tpu.ops import lie, sim3_solve, pose_graph
+
+
+def test_umeyama_sim3_weighted():
+    rng = np.random.RandomState(0)
+    x = rng.randn(50, 3).astype(np.float32)
+    R_true = np.asarray(lie.so3_exp(jnp.asarray([0.3, -0.2, 0.5])))
+    s_true, t_true = 1.7, np.asarray([1.0, -0.5, 2.0], np.float32)
+    y = s_true * (R_true @ x.T).T + t_true
+    # corrupt some rows; weight them to zero
+    y_c = y.copy()
+    y_c[:10] += 100
+    w = np.ones(50, np.float32)
+    w[:10] = 0
+    R, t, s = sim3_solve.umeyama_sim3(jnp.asarray(x), jnp.asarray(y_c),
+                                      jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(R), R_true, atol=1e-4)
+    np.testing.assert_allclose(float(s), s_true, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(t), t_true, atol=1e-3)
+
+
+def test_ransac_sim3_recovers_transform():
+    rng = np.random.RandomState(1)
+    K = jnp.asarray([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]], jnp.float32)
+    # points in camera-2 frame
+    x2 = rng.uniform([-2, -2, 4], [2, 2, 8], (120, 3)).astype(np.float32)
+    R12 = np.asarray(lie.so3_exp(jnp.asarray([0.1, 0.25, -0.1])))
+    s12, t12 = 1.4, np.asarray([0.5, -0.3, 0.8], np.float32)
+    x1 = s12 * (R12 @ x2.T).T + t12
+    # pixel measurements (both cameras observe their own points directly)
+    uv1 = np.stack([500 * x1[:, 0] / x1[:, 2] + 320,
+                    500 * x1[:, 1] / x1[:, 2] + 240], 1).astype(np.float32)
+    uv2 = np.stack([500 * x2[:, 0] / x2[:, 2] + 320,
+                    500 * x2[:, 1] / x2[:, 2] + 240], 1).astype(np.float32)
+    # outlier correspondences
+    x2_c = x2.copy()
+    out = rng.choice(120, 20, replace=False)
+    x2_c[out] += rng.uniform(1, 3, (20, 3))
+    res = sim3_solve.ransac_sim3_jit(
+        jax.random.PRNGKey(0), jnp.asarray(x1), jnp.asarray(x2_c),
+        jnp.ones(120, bool), jnp.asarray(uv1), jnp.asarray(uv2), K)
+    assert int(res.n_inliers) > 80
+    np.testing.assert_allclose(np.asarray(res.R), R12, atol=5e-3)
+    np.testing.assert_allclose(float(res.s), s12, rtol=2e-2)
+
+
+def test_pose_graph_absorbs_drift():
+    """Chain of keyframes with accumulated drift + loop edge back to start:
+    the essential-graph optimization should spread the error and bring the
+    last keyframe near the first (reference OptimizeEssentialGraph)."""
+    K = 12
+    # ground truth: circle
+    gt = []
+    for k in range(K):
+        ang = 2 * np.pi * k / K
+        Rwc = np.asarray(lie.so3_exp(jnp.asarray([0.0, ang, 0.0])))
+        c = np.asarray([np.sin(ang), 0.0, 1 - np.cos(ang)]) * 3.0
+        R = Rwc.T
+        t = -R @ c
+        gt.append((R, t))
+    # drifted estimates: add incremental yaw error
+    est8 = []
+    drift = 0.25
+    for k, (R, t) in enumerate(gt):
+        dR = np.asarray(lie.so3_exp(jnp.asarray([0.0, drift * k / K, 0.0])))
+        est8.append(np.asarray(lie.sim8_pack(
+            jnp.asarray(R @ dR), jnp.asarray(t), jnp.asarray(1.0))))
+    est8 = jnp.asarray(np.stack(est8))
+    # edges: consecutive chain with TRUE relative measurements + loop edge
+    ei, ej, meas = [], [], []
+    gt8 = [np.asarray(lie.sim8_pack(jnp.asarray(R), jnp.asarray(t),
+                                    jnp.asarray(1.0))) for R, t in gt]
+    for k in range(K - 1):
+        ei.append(k + 1)
+        ej.append(k)
+        meas.append(np.asarray(pose_graph.build_relative_measurements(
+            jnp.asarray(gt8[k + 1]), jnp.asarray(gt8[k]))))
+    # loop edge K-1 -> 0 with true relative
+    ei.append(K - 1)
+    ej.append(0)
+    meas.append(np.asarray(pose_graph.build_relative_measurements(
+        jnp.asarray(gt8[K - 1]), jnp.asarray(gt8[0]))))
+    out8, costs = pose_graph.optimize_pose_graph(
+        est8, jnp.ones(K, bool), jnp.zeros(K, bool).at[0].set(True),
+        jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
+        jnp.asarray(np.stack(meas)), jnp.ones(len(ei), bool), n_iters=15)
+    # compare last KF pose against ground truth
+    R_out, t_out, s_out = lie.sim8_unpack(out8[-1])
+    R_gt, t_gt = gt[-1]
+    ang_err = np.linalg.norm(np.asarray(lie.so3_log(
+        R_out @ jnp.asarray(R_gt).T)))
+    # initial drift of last KF was ~0.23 rad; must shrink dramatically
+    assert ang_err < 0.03, ang_err
+    assert float(costs[-1]) < float(costs[0]) * 0.1

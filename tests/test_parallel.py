@@ -1,0 +1,51 @@
+"""Distributed BA on the virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orb_slam2_e_tpu.ops import ba
+from orb_slam2_e_tpu.parallel import dist_ba
+from tests.test_ba import make_ba_problem, _pose_errors
+
+
+def test_device_count():
+    assert len(jax.devices()) >= 8
+
+
+def test_distributed_matches_single_device():
+    cam, prob, poses_true, pts_true = make_ba_problem(seed=7)
+    mesh = dist_ba.make_mesh(8)
+    res_d = dist_ba.distributed_ba(cam, prob, mesh, n_outer=8, cg_iters=25)
+    res_s = ba.ba_solve_pcg_jit(cam, prob, n_outer=8, cg_iters=25)
+    np.testing.assert_allclose(np.asarray(res_d.cam_pose7),
+                               np.asarray(res_s.cam_pose7), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(res_d.points),
+                               np.asarray(res_s.points), atol=5e-3)
+
+
+def test_distributed_converges():
+    cam, prob, poses_true, pts_true = make_ba_problem(seed=8)
+    mesh = dist_ba.make_mesh(8)
+    res = dist_ba.distributed_ba(cam, prob, mesh, n_outer=12, cg_iters=40)
+    et, er = _pose_errors(res.cam_pose7, poses_true)
+    assert et.max() < 0.02, et.max()
+
+
+def test_dryrun_entrypoint():
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(8)
+
+
+def test_obs_padding():
+    cam, prob, *_ = make_ba_problem(seed=9)
+    # make obs count non-divisible by 8
+    prob2 = prob._replace(
+        obs_cam=prob.obs_cam[:1021], obs_point=prob.obs_point[:1021],
+        obs_uvr=prob.obs_uvr[:1021], obs_inv_sigma2=prob.obs_inv_sigma2[:1021],
+        obs_valid=prob.obs_valid[:1021])
+    padded = dist_ba.pad_problem(prob2, 8)
+    assert padded.obs_cam.shape[0] % 8 == 0
+    assert not np.asarray(padded.obs_valid[1021:]).any()
