@@ -59,6 +59,25 @@ def detect_relocalization_candidates(db: BowDatabase, q: jnp.ndarray,
 
 
 @jax.jit
+def detect_loop_candidates_full(db: BowDatabase, q: jnp.ndarray, state, kf):
+    """Single-dispatch loop-candidate query: computes the covisibility
+    exclusion set and the min-score gate on device, then ranks
+    (fuses the whole reference DetectLoop preamble, LoopClosing.cc:103-150)."""
+    covis = state.covisibility_row(kf)
+    scores = query_scores(db, q)
+    covis_mask = (covis >= 15) & state.kf_valid
+    min_score = jnp.min(jnp.where(covis_mask, scores, jnp.inf))
+    min_score = jnp.where(jnp.isfinite(min_score),
+                          jnp.maximum(min_score, 0.01), 0.05)
+    exclude = (covis > 0) | ~state.kf_valid
+    exclude = exclude.at[kf].set(True)
+    s = jnp.where(exclude, -1.0, scores)
+    s = jnp.where(s >= min_score, s, -1.0)
+    top_s, top_k = jax.lax.top_k(s, 5)
+    return top_k, top_s
+
+
+@jax.jit
 def detect_loop_candidates(db: BowDatabase, q: jnp.ndarray,
                            exclude: jnp.ndarray, min_score: jnp.ndarray,
                            n_candidates: int = 5):

@@ -383,6 +383,25 @@ def local_ba(cam: Camera, cfg: MappingConfig, state: MapState, kf):
 # Keyframe culling
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=('cfg', 'do_ba', 'do_cull_kf'))
+def mapping_pass(cam: Camera, cfg: MappingConfig, state: MapState, kf,
+                 do_ba: bool = True, do_cull_kf: bool = True):
+    """Full local-mapping pass for one new keyframe in ONE dispatch
+    (reference LocalMapping::Run body, SURVEY.md §3.2): point culling ->
+    triangulation -> fusion -> local BA -> keyframe culling.
+
+    Returns (state, (n_culled, n_new, victim)) — a single host sync."""
+    state, n_culled = cull_map_points(cfg, state, kf)
+    state, n_new = triangulate_with_neighbors(cam, cfg, state, kf)
+    state, _ = fuse_neighbors(cam, cfg, state, kf)
+    if do_ba:
+        state, _ = local_ba(cam, cfg, state, kf)
+    victim = jnp.int32(-1)
+    if do_cull_kf:
+        state, victim = cull_keyframes(cfg, state, kf)
+    return state, (n_culled, n_new, victim)
+
+
 @functools.partial(jax.jit, static_argnames=('cfg',))
 def cull_keyframes(cfg: MappingConfig, state: MapState, kf):
     """Cull covisible keyframes whose landmarks are >= 90% redundant —

@@ -61,7 +61,10 @@ class SystemConfig:
     deformable: bool = False             # E mode: dual rigid/non-rigid reloc
     el_type: int = 1                     # RelocParam.nElType (1=C3D6, 2=C3D8)
     loop_closing: bool = True
-    min_frames_between_kf: int = 0
+    min_frames_between_kf: int = 3       # emulates the reference's
+                                         # mapping-idle throttle (its mMinFrames
+                                         # is 0 but insertion waits for the
+                                         # LocalMapping thread to be idle)
     max_frames_between_kf: int = 30      # ~fps (reference mMaxFrames = fps)
     min_init_matches: int = 100          # mono init gate (reference
                                          # Tracking.cc:728 with a 2x-feature
@@ -104,6 +107,24 @@ class SlamSystem:
         self.map_cfg = LM.MappingConfig(
             scale_factor=cfg.scale_factor, n_levels=cfg.n_levels)
         self.key = jax.random.PRNGKey(seed)
+
+        # fused frame construction: extract + undistort (+ depth lookup) in
+        # one dispatch (remote-TPU latency is per dispatch, not per op)
+        from .frame import frame_from_features as _fff, sample_depth_at as _sd
+
+        @jax.jit
+        def _mk_frame_mono(image):
+            return _fff(self.cam, self.extractor._extract(image))
+
+        @jax.jit
+        def _mk_frame_depth(image, depth_map):
+            feats = self.extractor._extract(image)
+            d = _sd(depth_map, feats.uv, self.cfg.depth_map_factor)
+            return _fff(self.cam, feats, d)
+
+        self._mk_frame_mono = _mk_frame_mono
+        self._mk_frame_depth = _mk_frame_depth
+        self._bow_jit = None
         self.reset()
 
     # ------------------------------------------------------------------ state
@@ -173,12 +194,10 @@ class SlamSystem:
 
     # ------------------------------------------------------------- internals
     def _make_frame(self, image, depth_map) -> Frame:
-        feats = self.extractor(jnp.asarray(image))
         if depth_map is None:
-            return frame_from_features(self.cam, feats)
-        d = sample_depth_at(jnp.asarray(depth_map), feats.uv,
-                            self.cfg.depth_map_factor)
-        return frame_from_features(self.cam, feats, d)
+            return self._mk_frame_mono(jnp.asarray(image))
+        return self._mk_frame_depth(jnp.asarray(image),
+                                    jnp.asarray(depth_map))
 
     def _track(self, frame: Frame, timestamp: float):
         self.frame_id += 1
@@ -190,24 +209,15 @@ class SlamSystem:
             self.last_frame = frame
             return self._last_pose() if ok else None
 
-        # --- normal tracking ---
-        ok = False
-        if self.velocity7 is not None:
-            pred = self._predict_pose()
-            frame, n_m, n_in = T.track_motion_model(
-                self.cam, self.track_cfg, self.map, frame, self.last_frame, pred)
-            ok = int(n_in) >= self.track_cfg.min_inliers_motion
-        if not ok and self.last_kf_slot >= 0:
-            frame, n_m, n_in = T.track_reference_keyframe(
-                self.cam, self.track_cfg, self.map, frame,
-                jnp.int32(self.last_kf_slot), self.last_frame.pose7)
-            ok = int(n_in) >= self.track_cfg.min_inliers_motion
-        if ok:
-            frame, n_in, visible, found = T.track_local_map(
-                self.cam, self.track_cfg, self.map, frame)
-            self.map = T.update_visibility_counters(self.map, visible, found)
-            n_in = int(n_in)
-            ok = n_in >= self.track_cfg.min_inliers_map
+        # --- normal tracking: one fused dispatch, one host sync ---
+        have_vel = self.velocity7 is not None
+        vel = self.velocity7 if have_vel else lie.pose7_identity()
+        self.map, frame, ok_d, n_in_d, refm_d = T.track_frame_fused(
+            self.cam, self.track_cfg, self.map, frame, self.last_frame,
+            vel, jnp.bool_(have_vel), jnp.int32(max(self.last_kf_slot, 0)))
+        ok = bool(ok_d)          # single blocking sync for the frame
+        n_in = int(n_in_d)
+        self._ref_matches = int(refm_d)
         if not ok and self.state == TrackState.LOST:
             # already lost: attempt relocalization (reference Tracking.cc:392)
             frame, ok = self._relocalize(frame)
@@ -253,15 +263,17 @@ class SlamSystem:
         if len(corpus) < 2000:
             return
         self.vocab = bow.train_vocabulary(corpus, k=8, L=3, iters=4)
+        voc = self.vocab
+        self._bow_jit = jax.jit(
+            lambda desc, valid: bow.bow_vector(
+                voc, bow.transform(voc, desc, valid)[0], valid))
         self.bow_db = KFDB.BowDatabase.create(self.cfg.max_keyframes,
                                               self.vocab.n_words)
         for slot in np.where(kf_ok)[0]:
             self._db_add(int(slot))
 
     def _bow_vec(self, desc, valid):
-        from ..ops import bow
-        words, v = bow.transform(self.vocab, desc, valid)
-        return bow.bow_vector(self.vocab, words, valid)
+        return self._bow_jit(desc, valid)
 
     def _db_add(self, slot: int):
         if self.vocab is None:
@@ -320,20 +332,13 @@ class SlamSystem:
             return
         q = self._bow_vec(self.map.kf_desc[kf_slot],
                           self.map.kf_kp_valid[kf_slot])
-        covis = self.map.covisibility_row(jnp.int32(kf_slot))
-        exclude = (covis > 0) | ~self.map.kf_valid
-        exclude = exclude.at[kf_slot].set(True)
-        # min score among covisible keyframes (reference LoopClosing.cc:120)
-        covis_slots = np.where(np.asarray(covis) >= 15)[0]
-        min_score = 0.05
-        if len(covis_slots) and self.bow_db is not None:
-            s = np.asarray(KFDB.query_scores(self.bow_db, q))[covis_slots]
-            if len(s):
-                min_score = max(float(s.min()), 0.01)
-        cand, scores = KFDB.detect_loop_candidates(
-            self.bow_db, q, exclude, jnp.float32(min_score))
-        cand_list = [int(c) for c, s in zip(np.asarray(cand),
-                                            np.asarray(scores)) if s > 0]
+        # candidate query incl. covisibility exclusion + min-score gate
+        # (reference LoopClosing.cc:103-150) in one dispatch
+        cand, scores = KFDB.detect_loop_candidates_full(
+            self.bow_db, q, self.map, jnp.int32(kf_slot))
+        scores = np.asarray(scores)
+        cand_list = [int(c) for c, s in zip(np.asarray(cand), scores)
+                     if s > 0]
         confirmed = self.loop_detector.update(cand_list)
         if not confirmed:
             return
@@ -416,9 +421,7 @@ class SlamSystem:
         if self.n_keyframes >= self.cfg.max_keyframes - 2:
             return False
         frames_since = self.frame_id - self.last_kf_frame_id
-        ref_matches = int(jnp.sum(
-            (self.map.kf_kp_point[self.last_kf_slot] >= 0)
-            & self.map.kf_kp_valid[self.last_kf_slot]))
+        ref_matches = getattr(self, "_ref_matches", 0)
         c1a = frames_since >= self.cfg.max_frames_between_kf
         c1b = frames_since >= self.cfg.min_frames_between_kf
         c2 = (n_inliers < ref_matches * 0.9) and n_inliers > 15
@@ -436,21 +439,18 @@ class SlamSystem:
         self.last_kf_frame_id = self.frame_id
         self.n_keyframes += 1
         self.stats["kf_inserted"] += 1
-        # mapping pass (reference LocalMapping::Run body)
+        # mapping pass (reference LocalMapping::Run body) — one dispatch
         kf = jnp.int32(slot)
-        self.map, n_culled = LM.cull_map_points(self.map_cfg, self.map, kf)
-        self.map, n_new = LM.triangulate_with_neighbors(
-            self.cam, self.map_cfg, self.map, kf)
-        self.map, _ = LM.fuse_neighbors(self.cam, self.map_cfg, self.map, kf)
-        if self.cfg.local_ba and self.n_keyframes > 2:
-            self.map, _ = LM.local_ba(self.cam, self.map_cfg, self.map, kf)
-        if self.n_keyframes > 4:
-            self.map, victim = LM.cull_keyframes(self.map_cfg, self.map, kf)
-            if int(victim) >= 0 and self.bow_db is not None:
-                self.bow_db = self.bow_db.erase(jnp.int32(int(victim)))
-            if int(victim) >= 0:
-                self.n_keyframes -= 1
-                self.stats["kf_culled"] += 1
+        self.map, (n_culled, n_new, victim) = LM.mapping_pass(
+            self.cam, self.map_cfg, self.map, kf,
+            do_ba=self.cfg.local_ba and self.n_keyframes > 2,
+            do_cull_kf=self.n_keyframes > 4)
+        victim = int(victim)
+        if victim >= 0:
+            if self.bow_db is not None:
+                self.bow_db = self.bow_db.erase(jnp.int32(victim))
+            self.n_keyframes -= 1
+            self.stats["kf_culled"] += 1
         self.stats["points_created"] += int(n_new)
         self.stats["points_culled"] += int(n_culled)
         # place recognition upkeep + loop closing

@@ -264,6 +264,48 @@ def update_visibility_counters(state: MapState, visible, found):
         lm_found=state.lm_found + found.astype(state.lm_found.dtype))
 
 
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def track_frame_fused(cam: Camera, cfg: TrackConfig, state: MapState,
+                      frame: Frame, last_frame: Frame, velocity7,
+                      have_velocity, ref_kf):
+    """One-dispatch tracking step: motion-model attempt, reference-keyframe
+    fallback, local-map tracking, visibility counters, and the keyframe-
+    policy statistics — all in a single jitted program so the host syncs
+    exactly once per frame (the per-dispatch latency of a remote TPU is the
+    real per-frame floor; reference threads never had this concern).
+
+    Returns (state, frame, ok, n_inliers, ref_matches)."""
+    # --- pose prediction ---
+    Rv, tv = lie.pose7_unpack(velocity7)
+    Rl, tl = lie.pose7_unpack(last_frame.pose7)
+    pred7 = lie.pose7_pack(*lie.se3_compose(Rv, tv, Rl, tl))
+    pred7 = jnp.where(have_velocity, pred7, last_frame.pose7)
+
+    # --- stage 1: motion model (always computed; cheap vs a cond) ---
+    f_mm, n_m_mm, n_in_mm = track_motion_model(
+        cam, cfg, state, frame, last_frame, pred7)
+    mm_ok = have_velocity & (n_in_mm >= cfg.min_inliers_motion)
+
+    # --- stage 2: reference-KF fallback ---
+    f_rf, n_m_rf, n_in_rf = track_reference_keyframe(
+        cam, cfg, state, frame, ref_kf, last_frame.pose7)
+    use_mm = mm_ok
+    f1 = jax.tree.map(lambda a, b: jnp.where(use_mm, a, b), f_mm, f_rf)
+    stage1_ok = mm_ok | (n_in_rf >= cfg.min_inliers_motion)
+
+    # --- stage 3: local map ---
+    f2, n_in, visible, found = track_local_map(cam, cfg, state, f1)
+    state = update_visibility_counters(state, visible & stage1_ok,
+                                       found & stage1_ok)
+    ok = stage1_ok & (n_in >= cfg.min_inliers_map)
+    frame_out = jax.tree.map(lambda a, b: jnp.where(stage1_ok, a, b),
+                             f2, frame)
+    # keyframe policy statistic: reference KF's bound features
+    ref_matches = jnp.sum((state.kf_kp_point[ref_kf] >= 0)
+                          & state.kf_kp_valid[ref_kf])
+    return state, frame_out, ok, jnp.where(stage1_ok, n_in, 0), ref_matches
+
+
 # ---------------------------------------------------------------------------
 # Keyframe insertion
 # ---------------------------------------------------------------------------

@@ -119,16 +119,25 @@ def _build_normal_blocks(prob: BAProblem, r, Jc, Jp, w, C: int, P: int):
 
 def _schur_solve_dense(Hcc, bc, Hpp, bp, Hcp, cam_free, lam):
     """Marginalize points, solve the reduced camera system, back-substitute.
-    Returns (dxc (C,6), dxp (P,3))."""
+    Returns (dxc (C,6), dxp (P,3)).
+
+    The landmark marginalization sum_p Hcp Hpp^-1 Hcp^T is laid out as ONE
+    (6C, 3P) x (3P, 6C) matmul so the MXU does the reduction (tiny per-block
+    einsums map terribly onto a 128x128 systolic array)."""
     C = Hcc.shape[0]
+    P = Hpp.shape[0]
     eye3 = jnp.eye(3)
     Hpp_l = (Hpp + lam * _diag_embed(jnp.diagonal(Hpp, axis1=1, axis2=2))
              + 1e-9 * eye3)
     Hpp_inv = jnp.linalg.inv(Hpp_l)                      # (P, 3, 3)
-    # S = Hcc_diag - sum_p Hcp Hpp^-1 Hcp^T  (full C x C block matrix)
+    # T[p] = Hcp[p] @ Hpp_inv[p]: batched (C*6, 3) x (3, 3) matmuls
     T = jnp.einsum('pcij,pjk->pcik', Hcp, Hpp_inv)       # (P, C, 6, 3)
-    S_off = jnp.einsum('pcik,pdjk->cdij', T, Hcp)        # (C, C, 6, 6)
-    rhs_red = bc - jnp.einsum('pcik,pk->ci', T, bp)      # (C, 6)
+    A = T.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)    # rows: (c,i)
+    B = Hcp.transpose(0, 3, 1, 2).reshape(P * 3, C * 6)  # cols: (d,j)
+    S_flat = jax.lax.dot_general(A, B, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    S_off = S_flat.reshape(C, 6, C, 6).transpose(0, 2, 1, 3)
+    rhs_red = bc - (A @ bp.reshape(-1)).reshape(C, 6)    # (C, 6)
     S = -S_off
     S = S.at[jnp.arange(C), jnp.arange(C)].add(
         Hcc + lam * _diag_embed(jnp.diagonal(Hcc, axis1=1, axis2=2)))

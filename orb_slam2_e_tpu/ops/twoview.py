@@ -47,12 +47,14 @@ def triangulate_linear(P1: jnp.ndarray, P2: jnp.ndarray,
         uv2[:, 0, None] * P2[2] - P2[0],
         uv2[:, 1, None] * P2[2] - P2[1],
     ], axis=1)                                        # (N, 4, 4)
-    # Smallest right singular vector of each 4x4
-    _, _, vt = jnp.linalg.svd(rows)
-    X = vt[:, 3, :]
-    w = X[:, 3]
-    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    return X[:, :3] / w[:, None]
+    # Affine DLT: solve M X = -q in least squares via 3x3 normal equations
+    # (the reference uses a 4x4 SVD; batched small SVDs are slow on TPU and
+    # the finite-point assumption w=1 holds for triangulable geometry).
+    M = rows[:, :, :3]
+    q = rows[:, :, 3]
+    MtM = jnp.einsum('nij,nik->njk', M, M) + 1e-9 * jnp.eye(3)
+    Mtq = jnp.einsum('nij,ni->nj', M, q)
+    return -jnp.linalg.solve(MtM, Mtq[..., None])[..., 0]
 
 
 def _normalize_points(uv: jnp.ndarray, valid: jnp.ndarray):

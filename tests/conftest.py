@@ -1,9 +1,13 @@
-"""Test configuration: run on CPU with 8 virtual devices so the multi-chip
-sharding path (orb_slam2_e_tpu.parallel) is exercised without TPU hardware."""
+"""Test configuration: force CPU with 8 virtual devices so (a) tests are
+deterministic and runnable anywhere, and (b) the multi-chip sharding path
+(orb_slam2_e_tpu.parallel) is exercised without TPU hardware.
+
+Note: the session environment may preset JAX_PLATFORMS (e.g. a TPU tunnel),
+so this must override, not setdefault."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
