@@ -61,6 +61,11 @@ class SystemConfig:
     deformable: bool = False             # E mode: dual rigid/non-rigid reloc
     el_type: int = 1                     # RelocParam.nElType (1=C3D6, 2=C3D8)
     loop_closing: bool = True
+    reloc_test_all_frames: bool = False  # RelocParam.bTestAllFrames: force a
+                                         # relocalization attempt every frame
+                                         # (KPI evaluation protocol, reference
+                                         # Tracking.cc:501)
+    n_precision_frames: int = 2          # RelocParam.nPrecisionFrames
     min_frames_between_kf: int = 3       # emulates the reference's
                                          # mapping-idle throttle (its mMinFrames
                                          # is 0 but insertion waits for the
@@ -82,7 +87,9 @@ class SystemConfig:
             min_th_fast=s.orb.min_th_fast, th_depth=s.th_depth,
             depth_map_factor=s.depth_map_factor,
             max_frames_between_kf=int(s.fps),
-            el_type=s.reloc.el_type)
+            el_type=s.reloc.el_type,
+            reloc_test_all_frames=s.reloc.test_all_frames,
+            n_precision_frames=s.reloc.n_precision_frames)
 
 
 class SlamSystem:
@@ -154,7 +161,7 @@ class SlamSystem:
         self.bow_db = None
         from ..utils.stats import RelocKpi
         from .loop_closing import LoopDetector
-        self.kpi = RelocKpi()
+        self.kpi = RelocKpi(self.cfg.n_precision_frames)
         self.loop_detector = LoopDetector()
         self.last_loop_kf = -1000
 
@@ -233,6 +240,12 @@ class SlamSystem:
             self.last_frame = frame
             return None
         self.kpi.on_frame_tracked(self.frame_id)
+        if self.cfg.reloc_test_all_frames and self.state == TrackState.OK \
+                and self.vocab is not None:
+            # KPI protocol: force relocalization on every subsequent frame
+            # (reference Tracking.cc:501 bOK=false after success)
+            self.state = TrackState.LOST
+            self.velocity7 = None
 
         self.state = TrackState.OK
         # velocity = Tcw_cur * Twc_last (reference Tracking.cc:545-552)

@@ -129,7 +129,7 @@ def _schur_solve_dense(Hcc, bc, Hpp, bp, Hcp, cam_free, lam):
     eye3 = jnp.eye(3)
     Hpp_l = (Hpp + lam * _diag_embed(jnp.diagonal(Hpp, axis1=1, axis2=2))
              + 1e-9 * eye3)
-    Hpp_inv = jnp.linalg.inv(Hpp_l)                      # (P, 3, 3)
+    Hpp_inv = _inv3x3(Hpp_l)                             # (P, 3, 3)
     # T[p] = Hcp[p] @ Hpp_inv[p]: batched (C*6, 3) x (3, 3) matmuls
     T = jnp.einsum('pcij,pjk->pcik', Hcp, Hpp_inv)       # (P, C, 6, 3)
     A = T.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)    # rows: (c,i)
@@ -154,6 +154,23 @@ def _schur_solve_dense(Hcc, bc, Hpp, bp, Hcp, cam_free, lam):
     t2 = jnp.einsum('pcij,ci->pj', Hcp, dxc)             # (P, 3)
     dxp = -jnp.einsum('pij,pj->pi', Hpp_inv, bp + t2)
     return dxc, dxp
+
+
+def _inv3x3(M):
+    """Closed-form batched 3x3 inverse (adjugate/determinant). TPU's batched
+    LU path costs ~7ms per (8k,3,3) call; this is pure VPU arithmetic."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    row0 = jnp.stack([A, -(b * i - c * h), b * f - c * e], -1)
+    row1 = jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1)
+    row2 = jnp.stack([C, -(a * h - b * g), a * e - b * d], -1)
+    return jnp.stack([row0, row1, row2], -2) * inv_det[..., None, None]
 
 
 def _diag_embed(d):
@@ -315,7 +332,7 @@ def ba_solve_pcg(cam: Camera, prob: BAProblem, n_outer: int = 10,
             lam * jnp.diagonal(Hcc, axis1=1, axis2=2) + 1e-8)
         Hpp_l = Hpp + _diag_embed(
             lam * jnp.diagonal(Hpp, axis1=1, axis2=2) + 1e-8)
-        Hpp_inv = jnp.linalg.inv(Hpp_l)
+        Hpp_inv = _inv3x3(Hpp_l)
         # rhs = -(bc - Hcp Hpp^-1 bp); gauge: zero rhs of fixed cams
         z0 = jnp.einsum('pij,pj->pi', Hpp_inv, bp)
         Jpz = jnp.einsum('oij,oj->oi', Jp, z0[prob.obs_point])

@@ -120,11 +120,20 @@ def test_nr_moves_landmarks_toward_deformed():
     assert ran
     n = len(pts)
     moved = np.asarray(state_nr.lm_xyz[:n])
-    err_before = np.linalg.norm(pts - pts_def, axis=1).mean()
-    err_after = np.linalg.norm(moved - pts_def, axis=1).mean()
-    # landmarks should move toward the deformed truth (not necessarily all
-    # the way: frame obs constrain 2 dof/pt; KF edges + FEM resist)
-    assert err_after < err_before, (err_after, err_before)
+    # landmarks must actually move (the map deforms — reference writes back
+    # SetWorldPos for ALL moved points, Optimizer.cc:797-809) ...
+    assert np.linalg.norm(moved - pts, axis=1).mean() > 1e-3
+    # ... and the reprojection error against the DEFORMED observations (the
+    # optimization objective) must drop vs keeping the rigid map
+    from orb_slam2_e_tpu.ops import camera as cam_ops
+    R_f, t_f = lie.pose7_unpack(frame.pose7)
+    uv_obs = np.asarray(frame.uvr[:n, :2])
+
+    def reproj_err(P):
+        uv, z = cam_ops.project(cam, lie.se3_apply(R_f, t_f, jnp.asarray(P)))
+        return np.linalg.norm(np.asarray(uv) - uv_obs, axis=1).mean()
+
+    assert reproj_err(moved) < reproj_err(pts)
     # rigidity flags updated
     assert (np.asarray(state_nr.lm_rigid[:n]) == 2).all()
 
