@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
-"""Monocular TUM driver (reference Examples/Monocular/mono_tum.cc).
+"""Monocular EuRoC driver (reference Examples/Monocular/mono_euroc.cc).
 
-Usage: python examples/mono_tum.py <settings.yaml> <sequence_dir> [out.txt]
+Usage: python examples/mono_euroc.py <settings.yaml> <sequence_dir>
+           [timestamps.txt] [out.txt]
 """
 
 import sys
@@ -13,15 +14,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main():
     settings_path, seq_dir = sys.argv[1], sys.argv[2]
-    out = sys.argv[3] if len(sys.argv) > 3 else "KeyFrameTrajectory.txt"
+    ts_file = sys.argv[3] if len(sys.argv) > 3 else None
+    out = sys.argv[4] if len(sys.argv) > 4 else "KeyFrameTrajectory.txt"
     from orb_slam2_e_tpu.utils.config import load_settings, camera_from_settings
-    from orb_slam2_e_tpu.utils.datasets import load_tum_rgb, iter_gray
+    from orb_slam2_e_tpu.utils.datasets import load_euroc, iter_gray
     from orb_slam2_e_tpu.models.system import SlamSystem, SystemConfig, Sensor
 
     s = load_settings(settings_path)
     cam = camera_from_settings(s)
     sysm = SlamSystem(cam, SystemConfig.from_settings(s), Sensor.MONOCULAR)
-    ts, paths = load_tum_rgb(seq_dir)
+    ts, paths = load_euroc(seq_dir, ts_file)
     print(f"Images in the sequence: {len(paths)}")
 
     track_times = []
@@ -31,7 +33,6 @@ def main():
         track_times.append(time.perf_counter() - t0)
     sysm.shutdown()
 
-    # timing stats (reference mono_tum.cc:111-120)
     tt = sorted(track_times)
     print(f"median tracking time: {tt[len(tt) // 2]:.4f}")
     print(f"mean tracking time: {sum(tt) / len(tt):.4f}")

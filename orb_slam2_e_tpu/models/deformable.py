@@ -43,6 +43,11 @@ class NRConfig(NamedTuple):
     mesh_nodes: int = 4096
     mesh_elems: int = 4096
     w_se: float = fem.W_SE
+    mode2: bool = False       # propagate deformation to untracked in-frustum
+                              # landmarks (the reference's mode-2 path,
+                              # Optimizer.cc:812-828 / FEA2 Compute(2) —
+                              # shipped disabled there too)
+    mode2_cap: int = 1024     # untracked landmark capacity for mode 2
 
 
 def _gather_problem(cam: Camera, cfg: TrackConfig, nr: NRConfig,
@@ -55,7 +60,9 @@ def _gather_problem(cam: Camera, cfg: TrackConfig, nr: NRConfig,
     okp = (pid >= 0) & frame.valid
     P_cap = nr.pts_cap
     (rows,) = jnp.nonzero(okp, size=P_cap, fill_value=0)
-    row_ok = okp[rows]
+    # fill slots alias row 0 (which may itself be valid) — mark padding by
+    # position, not by looking up okp
+    row_ok = jnp.arange(P_cap) < jnp.sum(okp)
     lm_ids = jnp.where(row_ok, pid[rows], 0)
     # which KFs observe these landmarks — vote and take top n_fixed_kfs
     marker = jnp.zeros((state.P,), jnp.int32).at[lm_ids].max(
@@ -82,7 +89,7 @@ def _gather_problem(cam: Camera, cfg: TrackConfig, nr: NRConfig,
     o_ok = kp_ok & (prow >= 0)
     flat_ok = o_ok.reshape(-1)
     (sel,) = jnp.nonzero(flat_ok, size=nr.obs_cap - P_cap, fill_value=0)
-    live = flat_ok[sel]
+    live = jnp.arange(nr.obs_cap - P_cap) < jnp.sum(flat_ok)
     o2_cam = (sel // state.F + 1).astype(jnp.int32)
     o2_pt = prow.reshape(-1)[sel]
     o2_uvr = state.kf_kp_uvr[top_k].reshape(-1, 3)[sel]
@@ -151,23 +158,83 @@ def pose_optimization_nr(cam: Camera, cfg: TrackConfig, nr: NRConfig,
     n_good = int(jnp.sum(res.obs_inlier[:nr.pts_cap]))
     # write back: frame pose + moved landmark positions
     frame = frame._replace(pose7=res.cam_pose7[0])
+    from ..ops.scatter import masked_set
     moved = row_ok
     state = state._replace(
-        lm_xyz=state.lm_xyz.at[lm_ids].set(
-            jnp.where(moved[:, None], res.points, state.lm_xyz[lm_ids])),
-        lm_rigid=state.lm_rigid.at[lm_ids].set(
-            jnp.where(moved, jnp.int8(2), state.lm_rigid[lm_ids])))
+        lm_xyz=masked_set(state.lm_xyz, lm_ids, moved, res.points),
+        lm_rigid=masked_set(state.lm_rigid, lm_ids, moved, jnp.int8(2)))
+    if nr.mode2:
+        state = propagate_untracked(cam, nr, state, frame, lm_ids, row_ok,
+                                    np.asarray(prob.points),
+                                    np.asarray(res.points))
     return frame, state, n_good, True
+
+
+def propagate_untracked(cam: Camera, nr: NRConfig, state: MapState,
+                        frame: Frame, lm_ids, row_ok,
+                        old_pts: np.ndarray, new_pts: np.ndarray):
+    """Mode-2 deformation propagation (reference FEA2::Compute(2) +
+    ComputeNewDisplacement, FEA2.cc:1914-1917; caller Optimizer.cc:812-828):
+    untracked in-frustum landmarks are joined with the tracked set into one
+    mesh; tracked node displacements (from the NR optimization) act as
+    Dirichlet data and the elastic equilibrium K a = 0 (with those
+    constraints) moves the untracked nodes.
+
+    The reference inverts the dense K (FEA2.cc:1661); here it is a
+    Jacobi-CG on the matrix-free operator (ops/fem.solve_displacement)."""
+    ok_np = np.asarray(row_ok)
+    tracked_ids = np.asarray(lm_ids)[ok_np]
+    d_tracked = (new_pts - old_pts)[ok_np]                 # (Nt, 3)
+    # untracked in-frustum landmarks
+    R, t = lie.pose7_unpack(frame.pose7)
+    uv_all, z_all = cam_ops.project(
+        cam, lie.se3_apply(R, t, state.lm_xyz))
+    uv_np = np.asarray(uv_all)
+    z_np = np.asarray(z_all)
+    W, H = float(cam.width), float(cam.height)
+    in_img = ((z_np > 0.05) & (uv_np[:, 0] >= 0) & (uv_np[:, 0] < W)
+              & (uv_np[:, 1] >= 0) & (uv_np[:, 1] < H))
+    untracked = np.asarray(state.lm_valid) & in_img
+    untracked[tracked_ids] = False
+    un_ids = np.where(untracked)[0][:nr.mode2_cap]
+    if len(un_ids) < 4:
+        return state
+    union_ids = np.concatenate([tracked_ids, un_ids])
+    pts_u = np.asarray(state.lm_xyz)[union_ids]
+    pts_u[:len(tracked_ids)] = old_pts[ok_np]   # mesh in the REFERENCE config
+    uv_u = uv_np[union_ids]
+    mesh = fem.build_mesh(pts_u, uv_u, el_type=1,
+                          max_nodes=2 * nr.mesh_nodes,
+                          max_elems=2 * nr.mesh_elems)
+    if mesh is None:
+        return state
+    ke_all = fem.element_stiffness_batch(mesh)
+    M = mesh.u0.shape[0]
+    half = M // 2
+    n_union = len(union_ids)
+    n_tracked = len(tracked_ids)
+    fixed = np.ones((M,), bool)
+    fixed[n_tracked:n_union] = False             # only untracked surface free
+    d_pin = np.zeros((M, 3), np.float32)
+    d_pin[:n_tracked] = d_tracked
+    b = -np.asarray(fem.stiffness_matvec(mesh, ke_all, jnp.asarray(d_pin)))
+    a = np.asarray(fem.solve_displacement(
+        mesh, ke_all, jnp.asarray(b), jnp.asarray(fixed), iters=64))
+    disp_un = a[n_tracked:n_union]
+    new_xyz = np.array(state.lm_xyz)        # writable copy
+    new_xyz[un_ids] = new_xyz[un_ids] + disp_un
+    return state._replace(
+        lm_xyz=jnp.asarray(new_xyz),
+        lm_rigid=state.lm_rigid.at[jnp.asarray(un_ids)].set(jnp.int8(2)))
 
 
 def set_rigidity_flags(state: MapState, frame: Frame,
                        rigid: bool) -> MapState:
     """Tag the frame's tracked landmarks rigid / non-rigid (E-addition,
     reference Tracking::SetRigidityFlag, src/Tracking.cc:2242-2268)."""
+    from ..ops.scatter import masked_set
     pid = frame.point_ids
     okp = (pid >= 0) & frame.valid
     flag = jnp.int8(1 if rigid else 2)
-    safe = jnp.where(okp, pid, 0)
     return state._replace(
-        lm_rigid=state.lm_rigid.at[safe].set(
-            jnp.where(okp, flag, state.lm_rigid[safe])))
+        lm_rigid=masked_set(state.lm_rigid, pid, okp, flag))

@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import lie, matching, twoview, ba
+from ..ops import lie, matching, twoview, ba, scatter
 from ..ops.camera import Camera
 from ..ops import camera as cam_ops
 from .frame import scale_invsigma2
@@ -151,7 +151,6 @@ def triangulate_with_neighbors(cam: Camera, cfg: MappingConfig,
                 & f_ok)  # f_ok re-check: feature still unbound
         slots, alloc_ok = state.allocate_points(want)
         okn = want & alloc_ok
-        sl = jnp.where(okn, slots, 0)
         dist1 = jnp.linalg.norm(xc1, axis=1)
         maxd = dist1 * cfg.scale_factor ** f_oct.astype(jnp.float32)
         mind = maxd / cfg.scale_factor ** (cfg.n_levels - 1)
@@ -159,22 +158,16 @@ def triangulate_with_neighbors(cam: Camera, cfg: MappingConfig,
                   + r2v / jnp.maximum(d2n[:, None], 1e-9))
         normal = normal / jnp.maximum(
             jnp.linalg.norm(normal, axis=1, keepdims=True), 1e-9)
+        ms = scatter.masked_set
         state = state._replace(
-            lm_xyz=state.lm_xyz.at[sl].set(
-                jnp.where(okn[:, None], X, state.lm_xyz[sl])),
-            lm_valid=state.lm_valid.at[sl].max(okn),
-            lm_desc=state.lm_desc.at[sl].set(
-                jnp.where(okn[:, None], state.kf_desc[kf], state.lm_desc[sl])),
-            lm_normal=state.lm_normal.at[sl].set(
-                jnp.where(okn[:, None], normal, state.lm_normal[sl])),
-            lm_min_dist=state.lm_min_dist.at[sl].set(
-                jnp.where(okn, mind, state.lm_min_dist[sl])),
-            lm_max_dist=state.lm_max_dist.at[sl].set(
-                jnp.where(okn, maxd, state.lm_max_dist[sl])),
-            lm_ref_kf=state.lm_ref_kf.at[sl].set(
-                jnp.where(okn, kf, state.lm_ref_kf[sl])),
-            lm_first_kf=state.lm_first_kf.at[sl].set(
-                jnp.where(okn, kf, state.lm_first_kf[sl])),
+            lm_xyz=ms(state.lm_xyz, slots, okn, X),
+            lm_valid=state.lm_valid.at[jnp.where(okn, slots, 0)].max(okn),
+            lm_desc=ms(state.lm_desc, slots, okn, state.kf_desc[kf]),
+            lm_normal=ms(state.lm_normal, slots, okn, normal),
+            lm_min_dist=ms(state.lm_min_dist, slots, okn, mind),
+            lm_max_dist=ms(state.lm_max_dist, slots, okn, maxd),
+            lm_ref_kf=ms(state.lm_ref_kf, slots, okn, kf),
+            lm_first_kf=ms(state.lm_first_kf, slots, okn, kf),
             kf_kp_point=state.kf_kp_point
                 .at[kf].set(jnp.where(okn, slots, state.kf_kp_point[kf]))
                 .at[nb, safe].max(jnp.where(okn, slots, INVALID)),
@@ -230,7 +223,7 @@ def fuse_neighbors(cam: Camera, cfg: MappingConfig, state: MapState, kf):
     lm_mask &= state.lm_valid
     L = cfg.ba_points
     (ids,) = jnp.nonzero(lm_mask, size=L, fill_value=0)
-    sub = lm_mask[ids]
+    sub = jnp.arange(L) < jnp.sum(lm_mask)         # fill slots alias id 0
     # project into kf
     R, t = lie.pose7_unpack(state.kf_pose7[kf])
     xc = lie.se3_apply(R, t, state.lm_xyz[ids])
@@ -273,19 +266,19 @@ def fuse_neighbors(cam: Camera, cfg: MappingConfig, state: MapState, kf):
     loser = jnp.where(bindB, jnp.where(p_obs >= q_obs, q, p), INVALID)
     winner = jnp.where(bindB, jnp.where(p_obs >= q_obs, p, q), INVALID)
     # build a P-sized replacement table: loser -> winner
+    pair_ok = (loser >= 0) & (winner >= 0)
     table = jnp.arange(state.P, dtype=jnp.int32)
-    table = table.at[jnp.where(loser >= 0, loser, 0)].set(
-        jnp.where(loser >= 0, winner, table[jnp.where(loser >= 0, loser, 0)]))
+    table = scatter.masked_set(table, loser, pair_ok, winner)
     pt = state.kf_kp_point
     remapped = jnp.where(pt >= 0, table[jnp.where(pt >= 0, pt, 0)], pt)
     dead = jnp.zeros((state.P,), bool).at[
-        jnp.where(loser >= 0, loser, 0)].max(loser >= 0)
+        jnp.where(pair_ok, loser, 0)].max(pair_ok)
     state = state._replace(
         kf_kp_point=remapped,
         lm_valid=state.lm_valid & ~dead,
         lm_found=state.lm_found + jnp.zeros((state.P,)).at[
-            jnp.where(winner >= 0, winner, 0)].add(
-                (winner >= 0) * state.lm_found[jnp.where(loser >= 0, loser, 0)]),
+            jnp.where(pair_ok, winner, 0)].add(
+                pair_ok * state.lm_found[jnp.where(pair_ok, loser, 0)]),
     )
     return state, jnp.sum(bindA) + jnp.sum(bindB)
 
@@ -313,7 +306,7 @@ def local_ba(cam: Camera, cfg: MappingConfig, state: MapState, kf):
         jnp.where(in_free, state.kf_kp_point, 0)].max(in_free)
     lm_mask &= state.lm_valid
     (pids,) = jnp.nonzero(lm_mask, size=cfg.ba_points, fill_value=0)
-    p_ok = lm_mask[pids]
+    p_ok = jnp.arange(cfg.ba_points) < jnp.sum(lm_mask)  # fill aliases id 0
     # fixed ring: KFs observing local points but not free
     sees_local = jnp.zeros((state.P,), bool).at[
         jnp.where(p_ok, pids, 0)].max(p_ok)
@@ -322,13 +315,19 @@ def local_ba(cam: Camera, cfg: MappingConfig, state: MapState, kf):
         & (state.kf_kp_point >= 0) & state.kf_kp_valid, axis=1)
     fixed_mask = kf_sees & state.kf_valid & ~free_mask
     (fixed_ids,) = jnp.nonzero(fixed_mask, size=cfg.ba_fixed, fill_value=0)
-    fix_ok = fixed_mask[fixed_ids]
+    fix_ok = jnp.arange(cfg.ba_fixed) < jnp.sum(fixed_mask)
     (free_idsc,) = jnp.nonzero(free_mask, size=cfg.ba_cams, fill_value=0)
-    free_ok = free_mask[free_idsc]
+    free_ok = jnp.arange(cfg.ba_cams) < jnp.sum(free_mask)
 
     cam_ids = jnp.concatenate([free_idsc, fixed_ids])       # (C,)
     cam_ok = jnp.concatenate([free_ok, fix_ok])
     cam_free = jnp.concatenate([free_ok, jnp.zeros_like(fix_ok)])
+    # gauge: the origin keyframe (slot 0) is always held fixed, exactly as the
+    # reference does (Optimizer.cc LocalBundleAdjustment:
+    # vSE3->setFixed(pKFi->mnId==0)). Without this, a young map whose whole
+    # keyframe set fits in the free window has no anchor and BA drifts the
+    # entire trajectory (gauge freedom).
+    cam_free &= cam_ids != 0
     C = cam_ids.shape[0]
 
     # map P -> local point row
@@ -342,7 +341,7 @@ def local_ba(cam: Camera, cfg: MappingConfig, state: MapState, kf):
     o_ok = kp_ok & (prow >= 0)
     flat_ok = o_ok.reshape(-1)
     (o_sel,) = jnp.nonzero(flat_ok, size=cfg.ba_obs, fill_value=0)
-    o_live = flat_ok[o_sel]
+    o_live = jnp.arange(cfg.ba_obs) < jnp.sum(flat_ok)   # fill aliases obs 0
     o_cam = (o_sel // state.F).astype(jnp.int32)
     o_feat = o_sel % state.F
     o_point = prow.reshape(-1)[o_sel]
@@ -360,22 +359,18 @@ def local_ba(cam: Camera, cfg: MappingConfig, state: MapState, kf):
         obs_valid=o_live,
     )
     res = ba.ba_solve(cam, prob)
-    # write back poses + points
-    wr = jnp.where(cam_ok & cam_free, 1.0, 0.0)[:, None]
-    new_pose = state.kf_pose7.at[cam_ids].set(
-        wr * res.cam_pose7 + (1 - wr) * state.kf_pose7[cam_ids])
-    new_xyz = state.lm_xyz.at[jnp.where(p_ok, pids, 0)].set(
-        jnp.where(p_ok[:, None], res.points, state.lm_xyz[jnp.where(p_ok, pids, 0)]))
+    # write back poses + points (drop-mode scatters: padding rows alias
+    # index 0 and must not revert real updates)
+    new_pose = scatter.masked_set(state.kf_pose7, cam_ids,
+                                  cam_ok & cam_free, res.cam_pose7)
+    new_xyz = scatter.masked_set(state.lm_xyz, pids, p_ok, res.points)
     state = state._replace(kf_pose7=new_pose, lm_xyz=new_xyz)
     # erase outlier observations (reference Optimizer.cc:1102-1126)
     out = o_live & ~res.obs_inlier
     state = state._replace(
         kf_kp_point=state.kf_kp_point.at[
-            cam_ids[jnp.where(out, o_cam, 0)],
-            jnp.where(out, o_feat, 0)].set(
-            jnp.where(out, INVALID,
-                      state.kf_kp_point[cam_ids[jnp.where(out, o_cam, 0)],
-                                        jnp.where(out, o_feat, 0)])))
+            jnp.where(out, cam_ids[o_cam], state.K),
+            jnp.where(out, o_feat, 0)].set(INVALID, mode='drop'))
     return state, res.final_cost
 
 

@@ -224,7 +224,9 @@ def global_ba(cam: Camera, state: MapState, scale_factor: float = 1.2,
         & state.kf_valid[:, None]
     flat_ok = obs_ok.reshape(-1)
     (sel,) = jnp.nonzero(flat_ok, size=obs_cap, fill_value=0)
-    live = flat_ok[sel]
+    # fill slots alias flat index 0 (which may be a live obs) — mask padding
+    # by position
+    live = jnp.arange(obs_cap) < jnp.sum(flat_ok)
     o_cam = (sel // F).astype(jnp.int32)
     o_feat = sel % F
     o_point = state.kf_kp_point.reshape(-1)[sel]

@@ -94,7 +94,7 @@ def fullmap_search_and_optimize(cam: Camera, cfg: TrackConfig,
     Map*, ...) — reference src/ORBmatcher.cc:134-222), then re-optimize."""
     L = cfg.local_points_cap
     (ids,) = jnp.nonzero(state.lm_valid, size=L, fill_value=0)
-    sub = state.lm_valid[ids]
+    sub = jnp.arange(L) < jnp.sum(state.lm_valid)  # fill slots alias id 0
     R, t = lie.pose7_unpack(frame.pose7)
     best_feat, dists, _ = search_landmarks_projected(
         cam, cfg, R, t, state.lm_xyz[ids], state.lm_desc[ids], sub,
@@ -113,6 +113,18 @@ def relocalize(key, cam: Camera, cfg: TrackConfig, state: MapState,
     pose7, n_pnp, pid = relocalize_candidates(
         key, cam, cfg, state, frame, cand_kfs, cand_ok)
     if int(n_pnp) < MIN_BOW_MATCHES:
+        # pose-histogram fallback (E-overload, reference PnPsolver.cc:403-634):
+        # even a sub-threshold RANSAC pose is tried against the FULL map;
+        # > 30 projection matches rescues the attempt.
+        if int(n_pnp) >= 2:
+            f2 = frame._replace(pose7=pose7, point_ids=pid)
+            f2, n_in = fullmap_search_and_optimize(cam, cfg, state, f2, 3.0)
+            if int(n_in) > 30:
+                frame = f2
+                if int(n_in) < RELOC_GOOD:
+                    frame, n_in = fullmap_search_and_optimize(
+                        cam, cfg, state, frame, 10.0)
+                return frame, int(n_in) >= RELOC_GOOD, int(n_in)
         return frame, False, 0
     frame = frame._replace(pose7=pose7, point_ids=pid)
     frame, n_in = optimize_frame_pose(cam, cfg, state, frame)

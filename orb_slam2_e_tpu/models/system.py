@@ -66,6 +66,9 @@ class SystemConfig:
                                          # (KPI evaluation protocol, reference
                                          # Tracking.cc:501)
     n_precision_frames: int = 2          # RelocParam.nPrecisionFrames
+    stats_reloc_path: str = None         # Output.StatsReloc: per-attempt
+                                         # StatsReloc.txt log (reference
+                                         # Tracking.cc:178-183)
     min_frames_between_kf: int = 3       # emulates the reference's
                                          # mapping-idle throttle (its mMinFrames
                                          # is 0 but insertion waits for the
@@ -89,7 +92,8 @@ class SystemConfig:
             max_frames_between_kf=int(s.fps),
             el_type=s.reloc.el_type,
             reloc_test_all_frames=s.reloc.test_all_frames,
-            n_precision_frames=s.reloc.n_precision_frames)
+            n_precision_frames=s.reloc.n_precision_frames,
+            stats_reloc_path=s.stats_reloc)
 
 
 class SlamSystem:
@@ -110,7 +114,8 @@ class SlamSystem:
             cfg.n_features, cfg.scale_factor, cfg.n_levels,
             cfg.ini_th_fast, cfg.min_th_fast)
         self.track_cfg = T.TrackConfig(
-            scale_factor=cfg.scale_factor, n_levels=cfg.n_levels)
+            scale_factor=cfg.scale_factor, n_levels=cfg.n_levels,
+            th_depth=cfg.th_depth)
         self.map_cfg = LM.MappingConfig(
             scale_factor=cfg.scale_factor, n_levels=cfg.n_levels)
         self.key = jax.random.PRNGKey(seed)
@@ -131,6 +136,43 @@ class SlamSystem:
 
         self._mk_frame_mono = _mk_frame_mono
         self._mk_frame_depth = _mk_frame_depth
+
+        # fully fused per-frame step: ORB extraction + frame build + the
+        # whole tracking pass in ONE device dispatch (the remote-TPU cost
+        # model is round-trips, not ops; cf. reference GrabImage* ->
+        # Track(), Tracking.cc:282-340, which the thread pipeline hides
+        # on CPU).
+        tcfg = self.track_cfg
+
+        @jax.jit
+        def _step_mono(map_state, image, last, vel, have_vel, ref_kf):
+            frame = _fff(self.cam, self.extractor._extract(image))
+            return T.track_frame_fused(self.cam, tcfg, map_state, frame,
+                                       last, vel, have_vel, ref_kf)
+
+        @jax.jit
+        def _step_depth(map_state, image, depth_map, last, vel, have_vel,
+                        ref_kf):
+            feats = self.extractor._extract(image)
+            d = _sd(depth_map, feats.uv, self.cfg.depth_map_factor)
+            frame = _fff(self.cam, feats, d)
+            return T.track_frame_fused(self.cam, tcfg, map_state, frame,
+                                       last, vel, have_vel, ref_kf)
+
+        @jax.jit
+        def _step_stereo(map_state, img_l, img_r, last, vel, have_vel,
+                         ref_kf):
+            from ..ops import stereo as stereo_ops
+            feats = self.extractor._extract(img_l)
+            d = stereo_ops.stereo_depth_for_features(
+                self.cam, img_l, img_r, feats, self.cfg.scale_factor)
+            frame = _fff(self.cam, feats, d)
+            return T.track_frame_fused(self.cam, tcfg, map_state, frame,
+                                       last, vel, have_vel, ref_kf)
+
+        self._step_mono = _step_mono
+        self._step_depth = _step_depth
+        self._step_stereo = _step_stereo
         self._bow_jit = None
         self.reset()
 
@@ -162,6 +204,10 @@ class SlamSystem:
         from ..utils.stats import RelocKpi
         from .loop_closing import LoopDetector
         self.kpi = RelocKpi(self.cfg.n_precision_frames)
+        from ..utils.stats import Statistics, RELOC_COLUMNS
+        self.reloc_stats = (Statistics(self.cfg.stats_reloc_path,
+                                       RELOC_COLUMNS)
+                            if self.cfg.stats_reloc_path else None)
         self.loop_detector = LoopDetector()
         self.last_loop_kf = -1000
 
@@ -179,25 +225,19 @@ class SlamSystem:
     def track_monocular(self, image, timestamp: float):
         """Reference System::TrackMonocular -> Tracking::GrabImageMonocular."""
         assert self.sensor == Sensor.MONOCULAR
-        frame = self._make_frame(image, None)
-        return self._track(frame, timestamp)
+        return self._track((jnp.asarray(image),), timestamp)
 
     def track_rgbd(self, image, depth, timestamp: float):
         """Reference System::TrackRGBD."""
         assert self.sensor == Sensor.RGBD
-        frame = self._make_frame(image, depth)
-        return self._track(frame, timestamp)
+        return self._track((jnp.asarray(image), jnp.asarray(depth)),
+                           timestamp)
 
     def track_stereo(self, image_left, image_right, timestamp: float):
         """Reference System::TrackStereo. Depth from the stereo row matcher."""
         assert self.sensor == Sensor.STEREO
-        from ..ops import stereo as stereo_ops
-        feats = self.extractor(jnp.asarray(image_left))
-        depth = stereo_ops.stereo_depth_for_features(
-            self.cam, jnp.asarray(image_left), jnp.asarray(image_right),
-            feats, self.cfg.scale_factor)
-        frame = frame_from_features(self.cam, feats, depth)
-        return self._track(frame, timestamp)
+        return self._track((jnp.asarray(image_left),
+                            jnp.asarray(image_right)), timestamp)
 
     # ------------------------------------------------------------- internals
     def _make_frame(self, image, depth_map) -> Frame:
@@ -206,21 +246,39 @@ class SlamSystem:
         return self._mk_frame_depth(jnp.asarray(image),
                                     jnp.asarray(depth_map))
 
-    def _track(self, frame: Frame, timestamp: float):
+    def _make_frame_inputs(self, inputs) -> Frame:
+        """Standalone frame construction (init / reloc paths)."""
+        if self.sensor == Sensor.STEREO:
+            from ..ops import stereo as stereo_ops
+            img_l, img_r = inputs
+            feats = self.extractor(img_l)
+            depth = stereo_ops.stereo_depth_for_features(
+                self.cam, img_l, img_r, feats, self.cfg.scale_factor)
+            return frame_from_features(self.cam, feats, depth)
+        if self.sensor == Sensor.RGBD:
+            return self._make_frame(inputs[0], inputs[1])
+        return self._make_frame(inputs[0], None)
+
+    def _track(self, inputs: tuple, timestamp: float):
         self.frame_id += 1
         if self.state == TrackState.NO_IMAGES_YET:
             self.state = TrackState.NOT_INITIALIZED
         if self.state == TrackState.NOT_INITIALIZED:
+            frame = self._make_frame_inputs(inputs)
             ok = self._initialize(frame, timestamp)
             self._record(timestamp, frame if ok else None)
             self.last_frame = frame
             return self._last_pose() if ok else None
 
-        # --- normal tracking: one fused dispatch, one host sync ---
+        # --- normal tracking: extraction + tracking in ONE dispatch, one
+        # host sync per frame ---
         have_vel = self.velocity7 is not None
         vel = self.velocity7 if have_vel else lie.pose7_identity()
-        self.map, frame, ok_d, n_in_d, refm_d = T.track_frame_fused(
-            self.cam, self.track_cfg, self.map, frame, self.last_frame,
+        step = {Sensor.MONOCULAR: self._step_mono,
+                Sensor.RGBD: self._step_depth,
+                Sensor.STEREO: self._step_stereo}[self.sensor]
+        self.map, frame, ok_d, n_in_d, refm_d = step(
+            self.map, *inputs, self.last_frame,
             vel, jnp.bool_(have_vel), jnp.int32(max(self.last_kf_slot, 0)))
         ok = bool(ok_d)          # single blocking sync for the frame
         n_in = int(n_in_d)
@@ -299,28 +357,49 @@ class SlamSystem:
     def _relocalize(self, frame: Frame):
         """Reference Tracking::Relocalization (SURVEY.md §3.3); in
         deformable mode runs the rigid and FEM-regularized optimizations
-        side by side and keeps the better (reference Tracking.cc:1951-2107)."""
+        side by side and keeps the better (reference Tracking.cc:1951-2107).
+        Each attempt optionally logs a StatsReloc row (reference
+        Tracking.cc:178-183, 1716-2099)."""
+        import time as _time
         from . import relocalization as RELOC
         from . import kf_database as KFDB
         self._ensure_vocab()
         if self.vocab is None:
             return frame, False
+        row = self.reloc_stats.row if self.reloc_stats else None
         q = self._bow_vec(frame.desc, frame.valid)
         cand, scores = KFDB.detect_relocalization_candidates(self.bow_db, q)
         cand_ok = scores > 0
-        if not bool(jnp.any(cand_ok)):
+        n_cand = int(jnp.sum(cand_ok))
+        if self.reloc_stats:
+            self.reloc_stats.add("Frame", self.frame_id)
+            self.reloc_stats.add("nCandidates", n_cand)
+        if n_cand == 0:
             self.kpi.on_reloc_fail()
+            self._flush_reloc_stats(accepted=0)
             return frame, False
         self.key, k = jax.random.split(self.key)
+        t0 = _time.perf_counter()
         frame_r, ok_r, n_r = RELOC.relocalize(
             k, self.cam, self.track_cfg, self.map, frame, cand, cand_ok)
+        t_r = _time.perf_counter() - t0
+        if self.reloc_stats:
+            self.reloc_stats.add("nPnPInliers", int(n_r))
+            self.reloc_stats.add("Time_PnP", round(t_r, 6))
+            self.reloc_stats.add("nGoodR", int(n_r))
+            self.reloc_stats.add("timeR", round(t_r, 6))
         if self.cfg.deformable and ok_r:
             # non-rigid pass from the rigid solution (dual R/NR protocol)
             from . import deformable as DEF
             nr_cfg = DEF.NRConfig(el_type=self.cfg.el_type,
                                   pts_cap=self.extractor.capacity)
+            t1 = _time.perf_counter()
             frame_nr, map_nr, n_nr, ran = DEF.pose_optimization_nr(
                 self.cam, self.track_cfg, nr_cfg, self.map, frame_r)
+            if self.reloc_stats:
+                self.reloc_stats.add("nGoodNR", int(n_nr) if ran else 0)
+                self.reloc_stats.add("timeNR",
+                                     round(_time.perf_counter() - t1, 6))
             if ran and n_nr >= max(n_r, 10):
                 self.map = DEF.set_rigidity_flags(map_nr, frame_nr, False)
                 frame_r, n_r = frame_nr, n_nr
@@ -330,9 +409,16 @@ class SlamSystem:
             self.stats["relocs"] += 1
             self.kpi.on_reloc_success(self.frame_id)
             self.state = TrackState.OK
+            self._flush_reloc_stats(accepted=1)
             return frame_r, True
         self.kpi.on_reloc_fail()
+        self._flush_reloc_stats(accepted=0)
         return frame, False
+
+    def _flush_reloc_stats(self, accepted: int):
+        if self.reloc_stats:
+            self.reloc_stats.add("Accepted", accepted)
+            self.reloc_stats.new_line()
 
     # ------------------------------------------------- loop closing
     def _try_close_loop(self, kf_slot: int):
@@ -532,26 +618,43 @@ class SlamSystem:
 
     def save_map(self, path):
         """Reference System::SaveMap (E-addition) — npz checkpoint of the
-        full SoA map plus session counters."""
+        full SoA map plus session counters; the trained BoW vocabulary rides
+        along so a loaded map relocalizes with identical word assignments."""
         from ..utils import map_io
-        map_io.save_map(path, self.map, extra={
+        from ..ops import bow
+        extra = {
             "last_kf_slot": self.last_kf_slot,
             "n_keyframes": self.n_keyframes,
             "frame_id": self.frame_id,
-        })
+        }
+        if self.vocab is not None:
+            extra.update(bow.vocabulary_to_arrays(self.vocab))
+        map_io.save_map(path, self.map, extra=extra)
 
     def load_map(self, path):
         """Reference Tracking::LoadMap/BuildLoadedMap — restore a map
         checkpoint and enter localization mode against it."""
         from ..utils import map_io
+        from ..ops import bow
+        from . import kf_database as KFDB
         self.map, extra = map_io.load_map(path)
         self.last_kf_slot = int(extra.get("last_kf_slot", 0))
         self.n_keyframes = int(extra.get("n_keyframes",
                                          int(self.map.n_keyframes())))
         self.state = TrackState.LOST      # relocalize against the loaded map
-        self.vocab = None                 # retrain vocab from the loaded KFs
+        self.vocab = bow.vocabulary_from_arrays(extra)
         self.bow_db = None
-        self._ensure_vocab()
+        if self.vocab is not None:
+            voc = self.vocab
+            self._bow_jit = jax.jit(
+                lambda desc, valid: bow.bow_vector(
+                    voc, bow.transform(voc, desc, valid)[0], valid))
+            self.bow_db = KFDB.BowDatabase.create(self.cfg.max_keyframes,
+                                                  voc.n_words)
+            for slot in np.where(np.asarray(self.map.kf_valid))[0]:
+                self._db_add(int(slot))
+        else:
+            self._ensure_vocab()          # no vocab in checkpoint: retrain
 
     def shutdown(self):
         """Reference System::Shutdown (no threads to join here)."""

@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import lie, matching, pose_opt, twoview
+from ..ops import lie, matching, pose_opt, twoview, scatter
 from ..ops.camera import Camera
 from ..ops import camera as cam_ops
 from .frame import Frame, scale_invsigma2
@@ -37,6 +37,14 @@ class TrackConfig(NamedTuple):
     min_inliers_map: int = 30      # reference TrackLocalMap gate :1320
     radius_motion: float = 15.0    # search window (mono th=15, Tracking.cc:379)
     radius_map: float = 4.0        # local map search radius factor
+    th_depth: float = 35.0         # close/far stereo threshold, in units of
+                                   # baseline (reference mThDepth = bf*Th/fx)
+    min_close_spawn: int = 100     # always spawn at least this many closest
+                                   # depth points per new KF (reference
+                                   # Tracking::CreateNewKeyFrame keeps
+                                   # inserting sorted-by-depth points until
+                                   # 100 even beyond ThDepth,
+                                   # src/Tracking.cc:1467-1481)
 
 
 # ---------------------------------------------------------------------------
@@ -236,7 +244,7 @@ def track_local_map(cam: Camera, cfg: TrackConfig, state: MapState,
     # --- compact to subset ---
     L = cfg.local_points_cap
     (ids,) = jnp.nonzero(lm_local, size=L, fill_value=0)
-    sub_mask = lm_local[ids]
+    sub_mask = jnp.arange(L) < jnp.sum(lm_local)   # fill slots alias id 0
     R, t = lie.pose7_unpack(frame.pose7)
     best_feat, dists, proj_ok = search_landmarks_projected(
         cam, cfg, R, t,
@@ -323,10 +331,18 @@ def insert_keyframe(cam: Camera, cfg: TrackConfig, state: MapState,
     R, t = lie.pose7_unpack(frame.pose7)
     Rwc, twc = lie.se3_inverse(R, t)
 
-    # spawn landmarks for close depth features lacking one
-    th_depth = cam.bf / cam.fx * 35.0    # ThDepth scaled by baseline ~ ref
-    want = (frame.valid & (frame.depth > 0) & (frame.depth < th_depth)
-            & (frame.point_ids < 0))
+    # spawn landmarks for close depth features lacking one; like the
+    # reference, always take at least the `min_close_spawn` closest depth
+    # features even when they are beyond ThDepth (src/Tracking.cc:1467-1481),
+    # so scenes without close structure still seed a map.
+    th_depth = cam.bf / cam.fx * cfg.th_depth
+    candidate = frame.valid & (frame.depth > 0) & (frame.point_ids < 0)
+    depth_key = jnp.where(candidate, frame.depth, jnp.inf)
+    rank = jnp.zeros(frame.depth.shape, jnp.int32).at[
+        jnp.argsort(depth_key)].set(jnp.arange(frame.depth.shape[0],
+                                               dtype=jnp.int32))
+    want = candidate & ((frame.depth < th_depth)
+                        | (rank < cfg.min_close_spawn))
     slots, ok = state.allocate_points(want)
     xyz_cam = cam_ops.backproject(cam, frame.uvr[:, :2], frame.depth)
     xyz_w = lie.se3_apply(Rwc, twc, xyz_cam)
@@ -336,23 +352,16 @@ def insert_keyframe(cam: Camera, cfg: TrackConfig, state: MapState,
     normal = xyz_w - twc
     normal = normal / jnp.maximum(
         jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
-    sl = jnp.where(ok, slots, 0)
+    ms = scatter.masked_set
     state = state._replace(
-        lm_xyz=state.lm_xyz.at[sl].set(
-            jnp.where(ok[:, None], xyz_w, state.lm_xyz[sl])),
-        lm_valid=state.lm_valid.at[sl].max(ok),
-        lm_desc=state.lm_desc.at[sl].set(
-            jnp.where(ok[:, None], frame.desc, state.lm_desc[sl])),
-        lm_normal=state.lm_normal.at[sl].set(
-            jnp.where(ok[:, None], normal, state.lm_normal[sl])),
-        lm_min_dist=state.lm_min_dist.at[sl].set(
-            jnp.where(ok, mind, state.lm_min_dist[sl])),
-        lm_max_dist=state.lm_max_dist.at[sl].set(
-            jnp.where(ok, maxd, state.lm_max_dist[sl])),
-        lm_ref_kf=state.lm_ref_kf.at[sl].set(
-            jnp.where(ok, slot, state.lm_ref_kf[sl])),
-        lm_first_kf=state.lm_first_kf.at[sl].set(
-            jnp.where(ok, slot, state.lm_first_kf[sl])),
+        lm_xyz=ms(state.lm_xyz, slots, ok, xyz_w),
+        lm_valid=state.lm_valid.at[jnp.where(ok, slots, 0)].max(ok),
+        lm_desc=ms(state.lm_desc, slots, ok, frame.desc),
+        lm_normal=ms(state.lm_normal, slots, ok, normal),
+        lm_min_dist=ms(state.lm_min_dist, slots, ok, mind),
+        lm_max_dist=ms(state.lm_max_dist, slots, ok, maxd),
+        lm_ref_kf=ms(state.lm_ref_kf, slots, ok, slot),
+        lm_first_kf=ms(state.lm_first_kf, slots, ok, slot),
     )
     point_ids = jnp.where(ok, slots, frame.point_ids)
     state = state.add_keyframe(
@@ -409,24 +418,21 @@ def mono_init_reconstruct(key, cam: Camera, cfg: TrackConfig,
 
     slots, alloc_ok = state.allocate_points(good)
     ok = good & alloc_ok
-    sl = jnp.where(ok, slots, 0)
     # landmark attributes from ref-frame viewpoint
     dist = jnp.linalg.norm(pts, axis=-1)
     maxd = dist * cfg.scale_factor ** f_ref.octave.astype(jnp.float32)
     mind = maxd / cfg.scale_factor ** (cfg.n_levels - 1)
     normal = pts / jnp.maximum(jnp.linalg.norm(pts, axis=-1, keepdims=True), 1e-9)
+    ms = scatter.masked_set
     state = state._replace(
-        lm_xyz=state.lm_xyz.at[sl].set(
-            jnp.where(ok[:, None], pts, state.lm_xyz[sl])),
-        lm_valid=state.lm_valid.at[sl].max(ok),
-        lm_desc=state.lm_desc.at[sl].set(
-            jnp.where(ok[:, None], f_cur.desc[safe], state.lm_desc[sl])),
-        lm_normal=state.lm_normal.at[sl].set(
-            jnp.where(ok[:, None], normal, state.lm_normal[sl])),
-        lm_min_dist=state.lm_min_dist.at[sl].set(jnp.where(ok, mind, 0.0)),
-        lm_max_dist=state.lm_max_dist.at[sl].set(jnp.where(ok, maxd, 0.0)),
-        lm_ref_kf=state.lm_ref_kf.at[sl].set(jnp.where(ok, 0, INVALID)),
-        lm_first_kf=state.lm_first_kf.at[sl].set(jnp.where(ok, 0, INVALID)),
+        lm_xyz=ms(state.lm_xyz, slots, ok, pts),
+        lm_valid=state.lm_valid.at[jnp.where(ok, slots, 0)].max(ok),
+        lm_desc=ms(state.lm_desc, slots, ok, f_cur.desc[safe]),
+        lm_normal=ms(state.lm_normal, slots, ok, normal),
+        lm_min_dist=ms(state.lm_min_dist, slots, ok, mind),
+        lm_max_dist=ms(state.lm_max_dist, slots, ok, maxd),
+        lm_ref_kf=ms(state.lm_ref_kf, slots, ok, 0),
+        lm_first_kf=ms(state.lm_first_kf, slots, ok, 0),
     )
     pid_ref = jnp.where(ok, slots, INVALID)
     pid_cur_scatter = jnp.full((f_cur.F,), INVALID).at[safe].max(

@@ -141,3 +141,30 @@ def l1_score(db: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     |a-b| = a + b - 2 min(a,b); with |a|=|b|=1 -> s = sum min(a,b)... kept
     explicit for clarity (reference ScoringObject.cpp L1Scoring)."""
     return 1.0 - 0.5 * jnp.sum(jnp.abs(db - q[None, :]), axis=-1)
+
+
+def vocabulary_to_arrays(voc: Vocabulary) -> dict:
+    """Flatten for npz checkpointing (reference ships its vocabulary as a
+    text file, ORBvoc.txt — here it rides in the map checkpoint)."""
+    return {
+        "voc_node_bits": np.asarray(voc.node_bits),
+        "voc_k": np.asarray(voc.k),
+        "voc_L": np.asarray(voc.L),
+        "voc_idf": np.asarray(voc.idf),
+    }
+
+
+def vocabulary_from_arrays(d: dict) -> "Vocabulary | None":
+    if "voc_node_bits" not in d:
+        return None
+    return Vocabulary(node_bits=jnp.asarray(d["voc_node_bits"]),
+                      k=int(d["voc_k"]), L=int(d["voc_L"]),
+                      idf=jnp.asarray(d["voc_idf"]))
+
+
+def save_vocabulary(path, voc: Vocabulary):
+    np.savez_compressed(path, **vocabulary_to_arrays(voc))
+
+
+def load_vocabulary(path) -> "Vocabulary | None":
+    return vocabulary_from_arrays(dict(np.load(path)))

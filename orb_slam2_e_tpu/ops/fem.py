@@ -105,11 +105,21 @@ def build_mesh(points: np.ndarray, uv: np.ndarray, el_type: int = 1,
         except Exception:
             return None
     simplices = np.asarray(simplices)             # (T, 3)
-    # drop slivers (degenerate image-plane triangles)
+    # drop slivers (degenerate image-plane triangles, e.g. collinear
+    # boundary points): anything below half a pixel^2 produces a singular
+    # element Jacobian
     p = uv[simplices]
     area2 = np.abs((p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
                    - (p[:, 2, 0] - p[:, 0, 0]) * (p[:, 1, 1] - p[:, 0, 1]))
-    simplices = simplices[area2 > 1e-6]
+    simplices = simplices[area2 > 1.0]
+    # also require non-degenerate 3D geometry (collinear world points give
+    # a zero-volume prism regardless of their projection)
+    q = points[simplices].astype(np.float64)
+    cr = np.cross(q[:, 1] - q[:, 0], q[:, 2] - q[:, 0])
+    a3d = np.linalg.norm(cr, axis=1)
+    scale2 = np.maximum(
+        np.einsum('tij,tij->t', q - q[:, :1], q - q[:, :1]), 1e-12)
+    simplices = simplices[a3d > 1e-6 * scale2]
     if len(simplices) == 0:
         return None
 
@@ -277,7 +287,11 @@ def _ke_from_grads(coords, grads, gp_w, D):
     def per_gp(g, w):
         J = g.T @ coords                              # (3, 3)
         detJ = jnp.linalg.det(J)
-        dNdx = g @ jnp.linalg.inv(J).T                # (n, 3) wait: solve
+        # singular J (degenerate/padded element): contribute 0, never NaN
+        ok = jnp.abs(detJ) > 1e-12
+        Jsafe = jnp.where(ok, J, jnp.eye(3, dtype=J.dtype))
+        detJ = jnp.where(ok, detJ, 0.0)
+        dNdx = g @ jnp.linalg.inv(Jsafe).T            # (n, 3)
         # rows of B for each node
         zeros = jnp.zeros((n,))
         bx, by, bz = dNdx[:, 0], dNdx[:, 1], dNdx[:, 2]
@@ -371,3 +385,76 @@ def nodal_forces(mesh: FemMesh, ke_all: jnp.ndarray,
     f = jnp.zeros((M, 3)).at[idx.reshape(-1)].add(
         fe.reshape(-1, 3) * 1.0)
     return f
+
+
+# ---------------------------------------------------------------------------
+# Mode 2: displacement propagation (K a = f) without the dense inverse
+# ---------------------------------------------------------------------------
+
+def stiffness_matvec(mesh: FemMesh, ke_all: jnp.ndarray,
+                     x: jnp.ndarray) -> jnp.ndarray:
+    """Matrix-free K @ x via per-element gather -> Ke -> scatter-add.
+
+    The reference assembles a dense K and inverts it with Eigen
+    (InvertMatrixEigen, FEA2.cc:1661-1691) for its mode-2 displacement
+    propagation; on TPU the operator form keeps everything batched and
+    O(Ne * 24^2) instead of O(M^3)."""
+    idx = jnp.where(mesh.elements >= 0, mesh.elements, 0)
+    node_ok = (mesh.elements >= 0)
+    mask = jnp.repeat(node_ok, 3, axis=1)
+    xe = jnp.where(mask, x[idx].reshape(-1, 24), 0.0)
+    fe = jnp.einsum('eij,ej->ei', ke_all, xe)
+    fe = jnp.where(mask & mesh.elem_valid[:, None], fe, 0.0)
+    M = x.shape[0]
+    return jnp.zeros((M, 3), x.dtype).at[idx.reshape(-1)].add(
+        fe.reshape(-1, 3))
+
+
+def stiffness_diag(mesh: FemMesh, ke_all: jnp.ndarray) -> jnp.ndarray:
+    """diag(K) (M, 3) assembled from element diagonals (Jacobi
+    preconditioner)."""
+    idx = jnp.where(mesh.elements >= 0, mesh.elements, 0)
+    node_ok = (mesh.elements >= 0)
+    dke = jnp.diagonal(ke_all, axis1=1, axis2=2)           # (Ne, 24)
+    dke = jnp.where(jnp.repeat(node_ok, 3, axis=1)
+                    & mesh.elem_valid[:, None], dke, 0.0)
+    M = mesh.u0.shape[0]
+    return jnp.zeros((M, 3)).at[idx.reshape(-1)].add(dke.reshape(-1, 3))
+
+
+def solve_displacement(mesh: FemMesh, ke_all: jnp.ndarray, f: jnp.ndarray,
+                       fixed_mask: jnp.ndarray, iters: int = 64):
+    """Solve K a = f for free nodes with Jacobi-preconditioned CG; Dirichlet
+    nodes (fixed_mask True, e.g. the tracked surface nodes and the layer-2
+    base — reference ImposeDirichletEncastre, FEA2.cc:1628-1645) are pinned
+    to zero displacement.
+
+    This is the TPU-native replacement for the reference's mode-2
+    a2 = K^-1 f propagation of deformation to untracked mesh nodes
+    (ComputeNewDisplacement, FEA2.cc:1914-1917; caller Optimizer.cc:812-828).
+    Returns a (M, 3)."""
+    free = ~fixed_mask[:, None]                             # (M, 1)
+    dK = jnp.maximum(stiffness_diag(mesh, ke_all), 1e-8)
+
+    def A(x):
+        return jnp.where(free, stiffness_matvec(mesh, ke_all, x), x)
+
+    b = jnp.where(free, f, 0.0)
+    x0 = jnp.zeros_like(b)
+    r = b - A(x0)
+    z = jnp.where(free, r / dK, 0.0)
+    p = z
+
+    def body(i, st):
+        x, r, z, p = st
+        Ap = A(p)
+        rz = jnp.sum(r * z)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
+        x = x + alpha * p
+        r_n = r - alpha * Ap
+        z_n = jnp.where(free, r_n / dK, 0.0)
+        beta = jnp.sum(r_n * z_n) / jnp.maximum(rz, 1e-20)
+        return (x, r_n, z_n, z_n + beta * p)
+
+    x, *_ = jax.lax.fori_loop(0, iters, body, (x0, r, z, p))
+    return jnp.where(free, x, 0.0)

@@ -171,19 +171,24 @@ def _cell_argmax(score: jnp.ndarray, cell: int):
 
 
 def detect_level(img: jnp.ndarray, quota: int, th_high: float, th_low: float,
-                 cell: int = 16):
+                 cell: int = 16, score: jnp.ndarray = None):
     """Detect up to `quota` spread-out FAST corners on one pyramid level.
 
     Returns (uv (Q,2) f32 level coords, score (Q,), valid (Q,)).
     Border of EDGE_THRESHOLD px is excluded (reference ORBextractor.cc:774-781).
+
+    `score` may be a precomputed NMS'd score map (the Pallas fused kernel,
+    ops/pallas_kernels.fast_nms_blur); otherwise the XLA formulation runs.
     """
     H, W = img.shape
-    score = fast_score_map(img, th_high, th_low)
-    # 3x3 non-max suppression
-    neigh = [ _shift2d(score, dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-              if not (dx == 0 and dy == 0) ]
-    is_max = functools.reduce(jnp.logical_and, [score >= n for n in neigh])
-    score = jnp.where(is_max, score, 0.0)
+    if score is None:
+        score = fast_score_map(img, th_high, th_low)
+        # 3x3 non-max suppression
+        neigh = [_shift2d(score, dx, dy) for dx in (-1, 0, 1)
+                 for dy in (-1, 0, 1) if not (dx == 0 and dy == 0)]
+        is_max = functools.reduce(jnp.logical_and,
+                                  [score >= n for n in neigh])
+        score = jnp.where(is_max, score, 0.0)
     # border mask
     ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -267,7 +272,8 @@ class OrbExtractor:
 
     def __init__(self, n_features: int = 1000, scale_factor: float = 1.2,
                  n_levels: int = 8, ini_th_fast: float = 20.0,
-                 min_th_fast: float = 7.0, cell: int = 16):
+                 min_th_fast: float = 7.0, cell: int = 16,
+                 use_pallas: bool = None):
         self.n_features = n_features
         self.scale_factor = scale_factor
         self.n_levels = n_levels
@@ -277,6 +283,10 @@ class OrbExtractor:
         self.quotas = level_quotas(n_features, scale_factor, n_levels)
         self.capacity = sum(self.quotas)
         self.scales = [scale_factor ** i for i in range(n_levels)]
+        if use_pallas is None:
+            from . import pallas_kernels as _pk
+            use_pallas = _pk.tpu_available()
+        self.use_pallas = bool(use_pallas)
         self._jitted = jax.jit(self._extract)
 
     def __call__(self, image: jnp.ndarray) -> OrbFeatures:
@@ -293,10 +303,17 @@ class OrbExtractor:
                 h = int(round(H / self.scales[lvl]))
                 w = int(round(W / self.scales[lvl]))
                 img = jax.image.resize(img0, (h, w), method='bilinear')
+            if self.use_pallas:
+                from . import pallas_kernels as _pk
+                smap, blurred = _pk.fast_nms_blur(img, self.ini_th,
+                                                  self.min_th)
+            else:
+                smap, blurred = None, gaussian_blur7(img)
             uv, score, valid = detect_level(
-                img, self.quotas[lvl], self.ini_th, self.min_th, self.cell)
+                img, self.quotas[lvl], self.ini_th, self.min_th, self.cell,
+                score=smap)
             ang = compute_orientations(img, uv)
-            desc = compute_descriptors(gaussian_blur7(img), uv, ang)
+            desc = compute_descriptors(blurred, uv, ang)
             scale = jnp.float32(self.scales[lvl])
             feats.append(OrbFeatures(
                 uv=uv * scale,

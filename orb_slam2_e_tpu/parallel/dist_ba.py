@@ -25,7 +25,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map            # jax >= 0.8
+except ImportError:                      # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from ..ops import ba
 from ..ops.camera import Camera

@@ -60,6 +60,7 @@ class Settings:
     orb_ini: Optional[OrbParams] = None  # mono init uses 2x features (Tracking.cc:131-134)
     reloc: RelocParams = dataclasses.field(default_factory=RelocParams)
     viewer: dict = dataclasses.field(default_factory=dict)
+    stats_reloc: Optional[str] = None    # Output.StatsReloc log path
 
     def __post_init__(self):
         if self.orb_ini is None:
@@ -72,11 +73,52 @@ def _get(d: dict, key: str, default):
     return type(default)(v) if v is not None else default
 
 
+class _CvLoader(yaml.SafeLoader):
+    """SafeLoader that understands cv::FileStorage's !!opencv-matrix nodes
+    (used by the reference's stereo EuRoC config for LEFT.K/D/R/P etc.,
+    Examples/Stereo/EuRoC.yaml)."""
+
+
+def _opencv_matrix(loader, node):
+    import numpy as np
+    m = loader.construct_mapping(node, deep=True)
+    return np.asarray(m["data"], dtype=np.float64).reshape(
+        int(m["rows"]), int(m["cols"]))
+
+
+_CvLoader.add_constructor("tag:yaml.org,2002:opencv-matrix", _opencv_matrix)
+_CvLoader.add_constructor("!!opencv-matrix", _opencv_matrix)
+
+
+def load_raw(path: str | Path) -> dict:
+    """Raw key->value dict of a cv::FileStorage YAML (matrices as numpy)."""
+    text = Path(path).read_text()
+    if text.startswith('%YAML'):
+        text = text.split('\n', 1)[1]
+    return yaml.load(text, Loader=_CvLoader) or {}
+
+
+def stereo_rectifier_from_settings(path: str | Path):
+    """Build a StereoRectifier from the LEFT.*/RIGHT.* blocks of a stereo
+    config (reference stereo_euroc.cc:59-105 reads the same keys)."""
+    d = load_raw(path)
+    from .rectify import StereoRectifier
+    need = ["LEFT.K", "LEFT.D", "LEFT.R", "LEFT.P",
+            "RIGHT.K", "RIGHT.D", "RIGHT.R", "RIGHT.P",
+            "LEFT.width", "LEFT.height"]
+    if any(k not in d for k in need):
+        return None
+    return StereoRectifier(
+        d["LEFT.K"], d["LEFT.D"], d["LEFT.R"], d["LEFT.P"],
+        d["RIGHT.K"], d["RIGHT.D"], d["RIGHT.R"], d["RIGHT.P"],
+        int(d["LEFT.width"]), int(d["LEFT.height"]))
+
+
 def load_settings(path: str | Path) -> Settings:
     text = Path(path).read_text()
     if text.startswith('%YAML'):
         text = text.split('\n', 1)[1]
-    d = yaml.safe_load(text) or {}
+    d = yaml.load(text, Loader=_CvLoader) or {}
 
     orb = OrbParams(
         n_features=int(_get(d, 'ORBextractor.nFeatures', 1000)),
@@ -111,6 +153,7 @@ def load_settings(path: str | Path) -> Settings:
         orb=orb,
         reloc=reloc,
         viewer={k: v for k, v in d.items() if k.startswith('Viewer.')},
+        stats_reloc=d.get('Output.StatsReloc'),
     )
 
 

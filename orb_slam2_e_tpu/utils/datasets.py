@@ -81,6 +81,12 @@ def load_euroc(seq_dir, ts_file=None):
 
 
 def read_gray(path):
+    """Grayscale frame; native libpng decoder preferred, cv2 fallback."""
+    if str(path).lower().endswith(".png"):
+        from .. import native
+        img = native.read_gray8(path)
+        if img is not None:
+            return img
     import cv2
     img = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
     if img is None:
@@ -90,8 +96,24 @@ def read_gray(path):
 
 def read_depth(path, factor=5000.0):
     """TUM depth PNGs are uint16 with 5000 = 1m (DepthMapFactor)."""
+    if str(path).lower().endswith(".png"):
+        from .. import native
+        d16 = native.read_u16(path)
+        if d16 is not None:
+            return d16.astype(np.float32) / factor
     import cv2
     d = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
     if d is None:
         raise FileNotFoundError(path)
     return d.astype(np.float32) / factor
+
+
+def iter_gray(paths, n_threads: int = 4, ahead: int = 8):
+    """Prefetching iterator over grayscale frames (native worker threads;
+    replaces the reference drivers' synchronous per-frame cv::imread)."""
+    try:
+        from .. import native
+        return native.ImagePrefetcher(paths, n_threads=n_threads,
+                                      ahead=ahead)
+    except Exception:
+        return (read_gray(p) for p in paths)

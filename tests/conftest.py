@@ -1,13 +1,25 @@
-"""Test configuration: force CPU with 8 virtual devices so (a) tests are
+"""Test configuration.
+
+Preferred backend: CPU with 8 virtual devices, so (a) tests are
 deterministic and runnable anywhere, and (b) the multi-chip sharding path
 (orb_slam2_e_tpu.parallel) is exercised without TPU hardware.
 
-Note: the session environment may preset JAX_PLATFORMS (e.g. a TPU tunnel),
-so this must override, not setdefault."""
+Caveat: some environments ship a patched jax whose remote-TPU plugin
+("axon" tunnel) ignores/overrides JAX_PLATFORMS — there, tests run on the
+tunneled TPU chip regardless. The "axon" *alias* backend has proven flaky
+(worker crashes); selecting the empty string lets jax pick the direct
+"tpu" plugin, which is stable. On normal installs the cpu forcing below
+works as intended.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("JAX_PLATFORMS") == "axon":
+    # patched-jax tunnel environment: the axon alias is flaky; '' lets jax
+    # resolve the direct tpu plugin (JAX_PLATFORMS=cpu is ignored there).
+    os.environ["JAX_PLATFORMS"] = ""
+else:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -31,9 +31,12 @@ def build_deformed_problem(n_grid=9, defmag=0.15, seed=0, noise=0.3):
     xs, ys = np.meshgrid(np.linspace(-1.5, 1.5, n_grid),
                          np.linspace(-1.2, 1.2, n_grid))
     pts = np.stack([xs.ravel(), ys.ravel(), np.full(n, 5.0)], 1).astype(np.float32)
-    # deformed surface: smooth bump
+    # deformed surface: smooth multi-modal warp (a single centered bump can
+    # be absorbed almost entirely by a rigid pose change; a rippled surface
+    # cannot)
     pts_def = pts.copy()
-    pts_def[:, 2] += defmag * np.exp(-(pts[:, 0] ** 2 + pts[:, 1] ** 2))
+    pts_def[:, 2] += defmag * (np.sin(2.3 * pts[:, 0]) *
+                               np.cos(1.7 * pts[:, 1]))
 
     state = MapState.create(max_keyframes=8, max_features=F, max_points=256)
 
@@ -155,3 +158,39 @@ def test_nr_pose_recovery_on_rigid_scene():
     assert np.linalg.norm(np.asarray(t) - t_f) < 0.05
     drift = np.linalg.norm(np.asarray(state_nr.lm_xyz[:n]) - pts, axis=1)
     assert np.median(drift) < 0.05
+
+
+def test_mode2_propagates_to_untracked():
+    """Mode-2: untracked in-frustum landmarks follow the elastic deformation
+    of the tracked surface (reference FEA2::Compute(2)/ComputeNewDisplacement
+    path, Optimizer.cc:812-828 — shipped disabled upstream)."""
+    cam, state, frame, pts, pts_def, _ = build_deformed_problem(defmag=0.25)
+    n = len(pts)
+    # untrack the odd-index points: frame loses those bindings
+    pid = np.asarray(frame.point_ids).copy()
+    untracked_rows = np.arange(1, n, 2)
+    pid[untracked_rows] = -1
+    valid = np.asarray(frame.valid).copy()
+    valid[untracked_rows] = False
+    frame = frame._replace(point_ids=jnp.asarray(pid),
+                           valid=jnp.asarray(valid))
+    cfg = TrackConfig(n_levels=4)
+    nr = DEF.NRConfig(el_type=1, pts_cap=128, obs_cap=1024, n_fixed_kfs=4,
+                      mesh_nodes=1024, mesh_elems=1024, mode2=True,
+                      mode2_cap=256)
+    _, state_nr, n_nr, ran = DEF.pose_optimization_nr(cam, cfg, nr, state,
+                                                      frame)
+    assert ran
+    moved = np.asarray(state_nr.lm_xyz[:n])
+    un_ids = np.arange(1, n, 2)
+    d_un = np.linalg.norm(moved[un_ids] - pts[un_ids], axis=1)
+    # untracked landmarks moved (deformation propagated) ...
+    assert d_un.mean() > 1e-4, d_un.mean()
+    # ... and the propagated z-displacement correlates with the true
+    # deformation field (elastic interpolation of the tracked neighbors)
+    dz = moved[un_ids, 2] - pts[un_ids, 2]
+    dz_true = pts_def[un_ids, 2] - pts[un_ids, 2]
+    corr = np.corrcoef(dz, dz_true)[0, 1]
+    assert corr > 0.3, corr
+    # flagged non-rigid
+    assert (np.asarray(state_nr.lm_rigid)[un_ids] == 2).all()

@@ -121,3 +121,73 @@ def test_nodal_forces_zero_at_rest():
     f = np.asarray(fem.nodal_forces(
         mesh, ke, fem.node_positions(mesh, jnp.asarray(pts))))
     assert np.abs(f).max() < 1e-2
+
+
+def _assemble_dense_K(mesh, ke):
+    """Dense K from element blocks (test oracle)."""
+    M = mesh.u0.shape[0]
+    K = np.zeros((3 * M, 3 * M))
+    elems = np.asarray(mesh.elements)
+    valid = np.asarray(mesh.elem_valid)
+    for e in range(elems.shape[0]):
+        if not valid[e]:
+            continue
+        nodes = elems[e]
+        for a in range(8):
+            if nodes[a] < 0:
+                continue
+            for b in range(8):
+                if nodes[b] < 0:
+                    continue
+                K[3 * nodes[a]:3 * nodes[a] + 3,
+                  3 * nodes[b]:3 * nodes[b] + 3] += \
+                    ke[e, 3 * a:3 * a + 3, 3 * b:3 * b + 3]
+    return K
+
+
+def test_stiffness_matvec_matches_dense():
+    pts, uv = grid_points(n=4)
+    mesh = fem.build_mesh(pts, uv, el_type=1, max_nodes=64, max_elems=64)
+    ke = fem.element_stiffness_batch(mesh)
+    K = _assemble_dense_K(mesh, np.asarray(ke))
+    rng = np.random.RandomState(0)
+    x = rng.randn(mesh.u0.shape[0], 3).astype(np.float32) * 0.01
+    got = np.asarray(fem.stiffness_matvec(mesh, ke, jnp.asarray(x)))
+    want = (K @ x.reshape(-1)).reshape(-1, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2 * max(
+        1.0, np.abs(want).max()))
+
+
+def test_solve_displacement_mode2():
+    """CG displacement propagation (mode 2) matches the dense solve the
+    reference does with an explicit K inverse (FEA2.cc:1661,1914)."""
+    pts, uv = grid_points(n=4)
+    mesh = fem.build_mesh(pts, uv, el_type=1, max_nodes=64, max_elems=64)
+    ke = fem.element_stiffness_batch(mesh)
+    M = mesh.u0.shape[0]
+    half = M // 2
+    n_surf = len(pts)
+    # Dirichlet: all layer-2 nodes + the first 4 surface nodes
+    fixed = np.zeros((M,), bool)
+    fixed[half:] = True
+    fixed[:4] = True
+    # also pin padded (inactive) node slots
+    active = np.zeros((M,), bool)
+    active[:n_surf] = True
+    active[half:half + n_surf] = True
+    fixed |= ~active
+    f = np.zeros((M, 3), np.float32)
+    f[5, 2] = 10.0   # poke one free surface node
+    a = np.asarray(fem.solve_displacement(
+        mesh, ke, jnp.asarray(f), jnp.asarray(fixed), iters=200))
+    # dense oracle
+    K = _assemble_dense_K(mesh, np.asarray(ke))
+    free_idx = np.where(np.repeat(~fixed, 3))[0]
+    Kff = K[np.ix_(free_idx, free_idx)]
+    af = np.linalg.solve(Kff + 1e-9 * np.eye(len(free_idx)),
+                         f.reshape(-1)[free_idx])
+    want = np.zeros((3 * M,))
+    want[free_idx] = af
+    want = want.reshape(-1, 3)
+    scale = max(np.abs(want).max(), 1e-9)
+    np.testing.assert_allclose(a, want, atol=0.05 * scale, rtol=0.05)

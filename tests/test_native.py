@@ -85,3 +85,28 @@ def test_distribute_quadtree(lib):
     sel = uv[keep]
     quads = set((tuple(q) for q in (sel // 50).astype(int)))
     assert len(quads) >= 3
+
+
+def test_native_imageio_roundtrip(tmp_path):
+    """libpng decode: gray8 exact, rgb->gray BT.601, u16 depth exact,
+    prefetcher ordered."""
+    np_rng = np.random.RandomState(7)
+    from PIL import Image
+    img = np_rng.randint(0, 255, (64, 96)).astype(np.uint8)
+    p_gray = tmp_path / "g.png"
+    Image.fromarray(img).save(p_gray)
+    d16 = np_rng.randint(0, 60000, (64, 96)).astype(np.uint16)
+    p_d16 = tmp_path / "d.png"
+    Image.fromarray(d16).save(p_d16)
+
+    from orb_slam2_e_tpu import native
+    if native.get_io_lib() is None:
+        import pytest
+        pytest.skip("native io unavailable")
+    g = native.read_gray8(p_gray)
+    assert np.array_equal(g, img)
+    d = native.read_u16(p_d16)
+    assert np.array_equal(d, d16)
+    pf = native.ImagePrefetcher([p_gray] * 10, n_threads=3, ahead=4)
+    out = list(pf)
+    assert len(out) == 10 and all(np.array_equal(o, img) for o in out)
