@@ -31,15 +31,16 @@ def main():
     sysm = SlamSystem(cam, SystemConfig.from_settings(s), Sensor.STEREO)
 
     ts, lefts = load_euroc(seq_dir, ts_file)
-    rights = [p.replace("cam0", "cam1") for p in lefts]
+    # swap only the camera path component, never other 'cam0' substrings
+    rights = [p.replace("/cam0/data/", "/cam1/data/") for p in lefts]
     print(f"Images in the sequence: {len(lefts)}")
 
     track_times = []
     for t, lp, rp in zip(ts, lefts, rights):
         im_l, im_r = read_gray(lp), read_gray(rp)
-        t0 = time.perf_counter()
         if rect is not None:
             im_l, im_r = rect(im_l, im_r)
+        t0 = time.perf_counter()
         sysm.track_stereo(im_l, im_r, t)
         track_times.append(time.perf_counter() - t0)
     sysm.shutdown()

@@ -213,10 +213,17 @@ def propagate_untracked(cam: Camera, nr: NRConfig, state: MapState,
     half = M // 2
     n_union = len(union_ids)
     n_tracked = len(tracked_ids)
+    # Pin BOTH layers of the tracked columns at the tracked displacement
+    # (the reference's Set_uf moves layer-2 rigidly with layer-1,
+    # FEA2.cc:1732-1796 — pinning layer-2 at zero would put the tracked
+    # columns in artificial shear and flip the sign of the propagated
+    # field); both layers of the untracked columns are free.
     fixed = np.ones((M,), bool)
-    fixed[n_tracked:n_union] = False             # only untracked surface free
+    fixed[n_tracked:n_union] = False
+    fixed[half + n_tracked:half + n_union] = False
     d_pin = np.zeros((M, 3), np.float32)
     d_pin[:n_tracked] = d_tracked
+    d_pin[half:half + n_tracked] = d_tracked
     b = -np.asarray(fem.stiffness_matvec(mesh, ke_all, jnp.asarray(d_pin)))
     a = np.asarray(fem.solve_displacement(
         mesh, ke_all, jnp.asarray(b), jnp.asarray(fixed), iters=64))

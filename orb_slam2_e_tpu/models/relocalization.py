@@ -116,7 +116,7 @@ def relocalize(key, cam: Camera, cfg: TrackConfig, state: MapState,
         # pose-histogram fallback (E-overload, reference PnPsolver.cc:403-634):
         # even a sub-threshold RANSAC pose is tried against the FULL map;
         # > 30 projection matches rescues the attempt.
-        if int(n_pnp) >= 2:
+        if int(n_pnp) >= 4:      # PnP minimal sample; fewer = unconstrained
             f2 = frame._replace(pose7=pose7, point_ids=pid)
             f2, n_in = fullmap_search_and_optimize(cam, cfg, state, f2, 3.0)
             if int(n_in) > 30:

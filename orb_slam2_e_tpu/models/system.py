@@ -641,6 +641,9 @@ class SlamSystem:
         self.last_kf_slot = int(extra.get("last_kf_slot", 0))
         self.n_keyframes = int(extra.get("n_keyframes",
                                          int(self.map.n_keyframes())))
+        # resume frame numbering (reference Tracking::LoadMap) so reloc KPI
+        # bookkeeping / StatsReloc frame ids continue rather than restart
+        self.frame_id = int(extra.get("frame_id", self.frame_id))
         self.state = TrackState.LOST      # relocalize against the loaded map
         self.vocab = bow.vocabulary_from_arrays(extra)
         self.bow_db = None

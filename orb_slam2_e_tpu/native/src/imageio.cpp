@@ -61,7 +61,12 @@ bool read_png(const char* path, bool want16, Image* out) {
   if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
   if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
   if (want16) {
-    // keep 16-bit; libpng stores big-endian -> swap to host LE
+    // normalize any input to single-channel 16-bit gray
+    if (bit_depth < 16) png_set_expand_16(png);
+    if (color == PNG_COLOR_TYPE_RGB || color == PNG_COLOR_TYPE_RGB_ALPHA ||
+        color == PNG_COLOR_TYPE_PALETTE)
+      png_set_rgb_to_gray_fixed(png, 1, 29900, 58700);
+    // libpng stores big-endian -> swap to host LE
     png_set_swap(png);
   } else {
     if (bit_depth == 16) png_set_strip_16(png);
@@ -71,6 +76,14 @@ bool read_png(const char* path, bool want16, Image* out) {
       png_set_rgb_to_gray_fixed(png, 1, 29900, 58700);
   }
   png_read_update_info(png, info);
+  // The compaction below assumes exactly one gray channel at the requested
+  // depth; refuse anything the transform chain did not normalize.
+  if (png_get_channels(png, info) != 1 ||
+      png_get_bit_depth(png, info) != (want16 ? 16 : 8)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return false;
+  }
 
   size_t rowbytes = png_get_rowbytes(png, info);
   out->w = w;

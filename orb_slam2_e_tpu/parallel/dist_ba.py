@@ -26,9 +26,20 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 try:
-    from jax import shard_map            # jax >= 0.8
-except ImportError:                      # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map as _shard_map       # jax >= 0.8
+except ImportError:                               # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+import inspect as _inspect
+
+# jax 0.9 renamed check_rep -> check_vma; disable replication checking under
+# either name (outputs become replicated only through explicit psum).
+_CHECK_KW = ('check_vma' if 'check_vma'
+             in _inspect.signature(_shard_map).parameters else 'check_rep')
+
+
+def shard_map(f, *, mesh, in_specs, out_specs):
+    return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                      **{_CHECK_KW: False})
 
 from ..ops import ba
 from ..ops.camera import Camera
@@ -84,8 +95,7 @@ def distributed_ba(cam: Camera, prob: ba.BAProblem, mesh: Mesh,
                            final_cost=rep)
 
     @functools.partial(shard_map, mesh=mesh,
-                       in_specs=(cam_spec, in_specs), out_specs=out_spec,
-                       check_rep=False)
+                       in_specs=(cam_spec, in_specs), out_specs=out_spec)
     def run(cam_l, prob_l):
         psum = lambda v: jax.lax.psum(v, axis)
         return ba.ba_solve_pcg(cam_l, prob_l, n_outer=n_outer,

@@ -110,10 +110,16 @@ def read_depth(path, factor=5000.0):
 
 def iter_gray(paths, n_threads: int = 4, ahead: int = 8):
     """Prefetching iterator over grayscale frames (native worker threads;
-    replaces the reference drivers' synchronous per-frame cv::imread)."""
-    try:
-        from .. import native
-        return native.ImagePrefetcher(paths, n_threads=n_threads,
-                                      ahead=ahead)
-    except Exception:
-        return (read_gray(p) for p in paths)
+    replaces the reference drivers' synchronous per-frame cv::imread).
+
+    The native prefetcher decodes PNG only; for mixed/JPEG sequences
+    (e.g. examples/mono_deformable.py Hamlyn *.jpg) fall back to the
+    cv2-backed read_gray generator."""
+    if all(str(p).lower().endswith(".png") for p in paths):
+        try:
+            from .. import native
+            return native.ImagePrefetcher(paths, n_threads=n_threads,
+                                          ahead=ahead)
+        except Exception:
+            pass
+    return (read_gray(p) for p in paths)
