@@ -71,7 +71,8 @@ def triangulate_with_neighbors(cam: Camera, cfg: MappingConfig,
     R1, t1 = lie.pose7_unpack(state.kf_pose7[kf])
     O1 = -R1.T @ t1
     covis = state.covisibility_row(kf)
-    nb_w, nb_ids = jax.lax.top_k(covis, cfg.n_neighbors)
+    nb_w, nb_ids = jax.lax.top_k(covis,
+                                 min(cfg.n_neighbors, covis.shape[0]))
 
     F = state.F
     f_uv = state.kf_kp_uvr[kf][:, :2]
@@ -214,7 +215,8 @@ def fuse_neighbors(cam: Camera, cfg: MappingConfig, state: MapState, kf):
     landmark, the one with more observations absorbs the other (reference
     MapPoint::Replace)."""
     covis = state.covisibility_row(kf)
-    nb_w, nb_ids = jax.lax.top_k(covis, cfg.n_neighbors)
+    nb_w, nb_ids = jax.lax.top_k(covis,
+                                 min(cfg.n_neighbors, covis.shape[0]))
     # candidate landmark set: union of neighbors' points (compacted)
     sel = jnp.zeros((state.K,), bool).at[nb_ids].max(nb_w > 0)
     in_sel = sel[:, None] & state.kf_kp_valid & (state.kf_kp_point >= 0)
@@ -297,7 +299,9 @@ def local_ba(cam: Camera, cfg: MappingConfig, state: MapState, kf):
     capacities; overflowing observations are dropped (weakest covisibility
     first by construction of top_k)."""
     covis = state.covisibility_row(kf)
-    free_w, free_ids = jax.lax.top_k(covis, cfg.ba_cams - 1)
+    # k may not exceed the keyframe capacity (tiny maps in tests/configs)
+    free_w, free_ids = jax.lax.top_k(covis,
+                                     min(cfg.ba_cams - 1, covis.shape[0]))
     free_mask = jnp.zeros((state.K,), bool).at[free_ids].max(free_w >= 15)
     free_mask = free_mask.at[kf].set(True)
     # local points

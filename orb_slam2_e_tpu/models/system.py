@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 from typing import Optional
 
 import numpy as np
@@ -30,6 +31,11 @@ from .frame import Frame, frame_from_features, sample_depth_at
 from .map_state import MapState, INVALID
 from . import tracking as T
 from . import local_mapping as LM
+
+
+@jax.jit
+def _pose7_to_Rt_jit(p7):
+    return lie.pose7_unpack(p7)
 
 
 class TrackState(enum.Enum):
@@ -116,8 +122,16 @@ class SlamSystem:
         self.track_cfg = T.TrackConfig(
             scale_factor=cfg.scale_factor, n_levels=cfg.n_levels,
             th_depth=cfg.th_depth)
+        dflt = LM.MappingConfig()
         self.map_cfg = LM.MappingConfig(
-            scale_factor=cfg.scale_factor, n_levels=cfg.n_levels)
+            scale_factor=cfg.scale_factor, n_levels=cfg.n_levels,
+            # BA windows can't exceed the map's capacities (and shrinking
+            # them for small maps shrinks the compiled BA programs)
+            n_neighbors=min(dflt.n_neighbors, cfg.max_keyframes),
+            ba_cams=min(dflt.ba_cams, cfg.max_keyframes),
+            ba_fixed=min(dflt.ba_fixed, cfg.max_keyframes),
+            ba_points=min(dflt.ba_points, cfg.max_points),
+            ba_obs=min(dflt.ba_obs, 3 * cfg.max_points))
         self.key = jax.random.PRNGKey(seed)
 
         # fused frame construction: extract + undistort (+ depth lookup) in
@@ -173,6 +187,36 @@ class SlamSystem:
         self._step_mono = _step_mono
         self._step_depth = _step_depth
         self._step_stereo = _step_stereo
+
+        # fused keyframe insertion + full mapping pass: ONE dispatch and ONE
+        # packed-scalar transfer per inserted keyframe (insert_keyframe and
+        # mapping_pass each returning separate scalars would cost a ~25 ms
+        # host round trip apiece on a tunneled TPU)
+        mcfg = self.map_cfg
+
+        @functools.partial(jax.jit, static_argnames=('do_ba', 'do_cull_kf'))
+        def _insert_and_map(map_state, frame, frame_id, timestamp, parent_kf,
+                            do_ba, do_cull_kf):
+            st1, frame1, slot = T.insert_keyframe(
+                self.cam, tcfg, map_state, frame, frame_id, timestamp,
+                parent_kf)
+            ins_ok = slot >= 0
+            st2, (n_culled, n_new, victim) = LM.mapping_pass(
+                self.cam, mcfg, st1, jnp.maximum(slot, 0),
+                do_ba=do_ba, do_cull_kf=do_cull_kf)
+            # no free keyframe slot: leave the map untouched
+            map_state = jax.tree.map(
+                lambda new, old: jnp.where(ins_ok, new, old), st2, map_state)
+            frame = jax.tree.map(
+                lambda new, old: jnp.where(ins_ok, new, old), frame1, frame)
+            packed = jnp.stack([slot.astype(jnp.int32),
+                                n_culled.astype(jnp.int32),
+                                n_new.astype(jnp.int32),
+                                jnp.where(ins_ok, victim, INVALID)
+                                .astype(jnp.int32)])
+            return map_state, frame, packed
+
+        self._insert_and_map = _insert_and_map
         self._bow_jit = None
         self.reset()
 
@@ -270,19 +314,20 @@ class SlamSystem:
             self.last_frame = frame
             return self._last_pose() if ok else None
 
-        # --- normal tracking: extraction + tracking in ONE dispatch, one
-        # host sync per frame ---
+        # --- normal tracking: extraction + tracking + velocity in ONE
+        # dispatch; ONE packed device->host transfer per frame ---
         have_vel = self.velocity7 is not None
         vel = self.velocity7 if have_vel else lie.pose7_identity()
         step = {Sensor.MONOCULAR: self._step_mono,
                 Sensor.RGBD: self._step_depth,
                 Sensor.STEREO: self._step_stereo}[self.sensor]
-        self.map, frame, ok_d, n_in_d, refm_d = step(
+        self.map, frame, vel_new, flags_d = step(
             self.map, *inputs, self.last_frame,
             vel, jnp.bool_(have_vel), jnp.int32(max(self.last_kf_slot, 0)))
-        ok = bool(ok_d)          # single blocking sync for the frame
-        n_in = int(n_in_d)
-        self._ref_matches = int(refm_d)
+        flags = jax.device_get(flags_d)   # the frame's single blocking sync
+        ok = bool(flags[0])
+        n_in = int(flags[1])
+        self._ref_matches = int(flags[2])
         if not ok and self.state == TrackState.LOST:
             # already lost: attempt relocalization (reference Tracking.cc:392)
             frame, ok = self._relocalize(frame)
@@ -306,11 +351,8 @@ class SlamSystem:
             self.velocity7 = None
 
         self.state = TrackState.OK
-        # velocity = Tcw_cur * Twc_last (reference Tracking.cc:545-552)
-        R_c, t_c = lie.pose7_unpack(frame.pose7)
-        R_l, t_l = lie.pose7_unpack(self.last_frame.pose7)
-        R_li, t_li = lie.se3_inverse(R_l, t_l)
-        self.velocity7 = lie.pose7_pack(*lie.se3_compose(R_c, t_c, R_li, t_li))
+        # velocity came back from the device program (Tracking.cc:545-552)
+        self.velocity7 = vel_new
 
         if not self.localization_only and self._need_new_keyframe(n_in):
             self._insert_keyframe(frame, timestamp)
@@ -466,8 +508,9 @@ class SlamSystem:
             return self._initialize_depth(frame, timestamp)
         # monocular two-frame bootstrap (reference Tracking.cc:681-934)
         m = self.cfg.min_init_matches
-        if self.init_frame is None or int(jnp.sum(frame.valid)) < m:
-            self.init_frame = frame if int(jnp.sum(frame.valid)) >= m else None
+        n_valid = int(jnp.sum(frame.valid))
+        if self.init_frame is None or n_valid < m:
+            self.init_frame = frame if n_valid >= m else None
             self.init_ts = timestamp
             return False
         midx, n_m = T.mono_init_match(self.track_cfg, self.init_frame, frame)
@@ -478,7 +521,7 @@ class SlamSystem:
         self.key, k = jax.random.split(self.key)
         new_map, new_frame, success, n_good = T.mono_init_reconstruct(
             k, self.cam, self.track_cfg, self.map, self.init_frame, frame,
-            midx, self.init_ts, timestamp)
+            midx, self.init_ts, timestamp, jnp.int32(m))
         if not bool(success):
             return False
         self.map = new_map
@@ -527,24 +570,21 @@ class SlamSystem:
         return (c1a or c1b) and c2
 
     def _insert_keyframe(self, frame: Frame, timestamp: float):
-        self.map, frame, slot = T.insert_keyframe(
-            self.cam, self.track_cfg, self.map, frame,
-            jnp.int32(self.frame_id), jnp.float32(timestamp),
-            jnp.int32(self.last_kf_slot))
-        slot = int(slot)
+        # fused insert + mapping pass: ONE dispatch, ONE packed transfer
+        n_after = self.n_keyframes + 1
+        self.map, frame, packed_d = self._insert_and_map(
+            self.map, frame, jnp.int32(self.frame_id),
+            jnp.float32(timestamp), jnp.int32(self.last_kf_slot),
+            do_ba=self.cfg.local_ba and n_after > 2,
+            do_cull_kf=n_after > 4)
+        slot, n_culled, n_new, victim = (int(v) for v in
+                                         jax.device_get(packed_d))
         if slot < 0:
             return
         self.last_kf_slot = slot
         self.last_kf_frame_id = self.frame_id
         self.n_keyframes += 1
         self.stats["kf_inserted"] += 1
-        # mapping pass (reference LocalMapping::Run body) — one dispatch
-        kf = jnp.int32(slot)
-        self.map, (n_culled, n_new, victim) = LM.mapping_pass(
-            self.cam, self.map_cfg, self.map, kf,
-            do_ba=self.cfg.local_ba and self.n_keyframes > 2,
-            do_cull_kf=self.n_keyframes > 4)
-        victim = int(victim)
         if victim >= 0:
             if self.bow_db is not None:
                 self.bow_db = self.bow_db.erase(jnp.int32(victim))
@@ -560,31 +600,30 @@ class SlamSystem:
 
     # ------------------------------------------------------------ trajectory
     def _record(self, timestamp, frame):
-        if frame is None:
-            self.trajectory.append((timestamp, None))
-        else:
-            self.trajectory.append((timestamp, np.asarray(frame.pose7)))
+        # store the DEVICE pose array; converting per frame would cost a
+        # full host round trip on a tunneled TPU. Batched transfer happens
+        # once, in get_trajectory().
+        self.trajectory.append(
+            (timestamp, frame.pose7 if frame is not None else None))
 
     def _last_pose(self):
         p7 = self.trajectory[-1][1]
         if p7 is None:
             return None
-        R, t = lie.pose7_unpack(jnp.asarray(p7))
-        return np.asarray(R), np.asarray(t)
+        R, t = _pose7_to_Rt_jit(p7)
+        return R, t          # device arrays; np.asarray() to materialize
 
     def get_trajectory(self):
         """-> (timestamps, R_wc (N,3,3), t_wc (N,3)) for tracked frames."""
-        ts, Rs, Ts = [], [], []
-        for tstamp, p7 in self.trajectory:
-            if p7 is None:
-                continue
-            R, t = lie.pose7_unpack(jnp.asarray(p7))
-            Rwc, twc = lie.se3_inverse(R, t)
-            ts.append(tstamp)
-            Rs.append(np.asarray(Rwc))
-            Ts.append(np.asarray(twc))
-        return np.asarray(ts), np.stack(Rs) if Rs else np.zeros((0, 3, 3)), \
-            np.stack(Ts) if Ts else np.zeros((0, 3))
+        ts = [tstamp for tstamp, p7 in self.trajectory if p7 is not None]
+        p7s = [p7 for _, p7 in self.trajectory if p7 is not None]
+        if not p7s:
+            return np.zeros((0,)), np.zeros((0, 3, 3)), np.zeros((0, 3))
+        p7b = jnp.stack(p7s)                     # one device op
+        R, t = lie.pose7_unpack(p7b)
+        Rwc, twc = jax.vmap(lie.se3_inverse)(R, t)
+        return (np.asarray(ts), np.asarray(Rwc),  # one batched transfer
+                np.asarray(twc))
 
     def save_trajectory_tum(self, path):
         """Reference System::SaveTrajectoryTUM."""

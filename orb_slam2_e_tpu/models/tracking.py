@@ -277,12 +277,15 @@ def track_frame_fused(cam: Camera, cfg: TrackConfig, state: MapState,
                       frame: Frame, last_frame: Frame, velocity7,
                       have_velocity, ref_kf):
     """One-dispatch tracking step: motion-model attempt, reference-keyframe
-    fallback, local-map tracking, visibility counters, and the keyframe-
-    policy statistics — all in a single jitted program so the host syncs
-    exactly once per frame (the per-dispatch latency of a remote TPU is the
-    real per-frame floor; reference threads never had this concern).
+    fallback, local-map tracking, visibility counters, the keyframe-
+    policy statistics, AND the next-frame velocity — all in a single jitted
+    program. On a tunneled remote TPU every device->host read costs a full
+    ~25 ms network round trip, so all per-frame scalars are packed into ONE
+    int32 vector the host fetches with a single transfer (the reference's
+    threads never had this concern; its per-frame scalars were free).
 
-    Returns (state, frame, ok, n_inliers, ref_matches)."""
+    Returns (state, frame, velocity7', flags) with
+    flags = [ok, n_inliers, ref_matches] int32."""
     # --- pose prediction ---
     Rv, tv = lie.pose7_unpack(velocity7)
     Rl, tl = lie.pose7_unpack(last_frame.pose7)
@@ -311,7 +314,15 @@ def track_frame_fused(cam: Camera, cfg: TrackConfig, state: MapState,
     # keyframe policy statistic: reference KF's bound features
     ref_matches = jnp.sum((state.kf_kp_point[ref_kf] >= 0)
                           & state.kf_kp_valid[ref_kf])
-    return state, frame_out, ok, jnp.where(stage1_ok, n_in, 0), ref_matches
+    # next-frame velocity = Tcw_cur * Twc_last (reference Tracking.cc:545-552)
+    # computed on device so the host never does eager pose math
+    R_c, t_c = lie.pose7_unpack(frame_out.pose7)
+    R_li, t_li = lie.se3_inverse(Rl, tl)
+    vel_new = lie.pose7_pack(*lie.se3_compose(R_c, t_c, R_li, t_li))
+    flags = jnp.stack([ok.astype(jnp.int32),
+                       jnp.where(stage1_ok, n_in, 0).astype(jnp.int32),
+                       ref_matches.astype(jnp.int32)])
+    return state, frame_out, vel_new, flags
 
 
 # ---------------------------------------------------------------------------
@@ -394,7 +405,8 @@ def mono_init_match(cfg: TrackConfig, f_ref: Frame, f_cur: Frame):
 @functools.partial(jax.jit, static_argnames=('cfg',))
 def mono_init_reconstruct(key, cam: Camera, cfg: TrackConfig,
                           state: MapState, f_ref: Frame, f_cur: Frame,
-                          match_idx, ts_ref, ts_cur):
+                          match_idx, ts_ref, ts_cur,
+                          min_good=jnp.int32(80)):
     """Run two-view reconstruction; on success build the initial map:
     KF0 at identity, KF1 at [R|t], landmarks at triangulated points with
     median-depth normalization (reference Tracking::MonocularInitialization +
@@ -445,4 +457,4 @@ def mono_init_reconstruct(key, cam: Camera, cfg: TrackConfig,
                                pid_cur_scatter, parent=0)
     f_cur = f_cur._replace(pose7=pose1, point_ids=pid_cur_scatter)
     n_good = jnp.sum(ok)
-    return state, f_cur, res.success & (n_good >= 80), n_good
+    return state, f_cur, res.success & (n_good >= min_good), n_good

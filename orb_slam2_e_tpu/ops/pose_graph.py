@@ -56,13 +56,25 @@ def optimize_pose_graph(sim8: jnp.ndarray, kf_valid: jnp.ndarray,
     jac_fn = jax.vmap(jax.jacfwd(_sim3_err, argnums=(0, 1)),
                       in_axes=(0, 0, 0, 0, 0))
 
-    def gn_iter(cur8, _):
+    w = edge_valid.astype(jnp.float32)
+
+    def edge_cost(cur8):
+        zeros = jnp.zeros((edges_i.shape[0], 7))
+        r = err_fn(zeros, zeros, cur8[edges_i], cur8[edges_j], meas8)
+        return jnp.sum(r * r * w[:, None])
+
+    def lm_iter(carry, _):
+        # Levenberg-Marquardt with accept/reject: pure Gauss-Newton here is
+        # unstable at the optimum — the gradient is ~f32 noise, and the
+        # near-singular solve amplifies it into a large step that throws the
+        # graph away from the solution (observed cost oscillation 1e-6<->13).
+        # Mirrors the reference's LM in optimization_algorithm_levenberg.cpp.
+        cur8, lam = carry
         zeros = jnp.zeros((edges_i.shape[0], 7))
         Si8 = cur8[edges_i]
         Sj8 = cur8[edges_j]
         r = err_fn(zeros, zeros, Si8, Sj8, meas8)            # (E, 7)
         Ji, Jj = jac_fn(zeros, zeros, Si8, Sj8, meas8)       # (E, 7, 7) x2
-        w = edge_valid.astype(jnp.float32)
         H = jnp.zeros((K, K, 7, 7))
         g = jnp.zeros((K, 7))
         wJi = Ji * w[:, None, None]
@@ -78,17 +90,24 @@ def optimize_pose_graph(sim8: jnp.ndarray, kf_valid: jnp.ndarray,
         idx = jnp.arange(K)
         Hf = Hf.at[idx, idx].add(
             (1.0 - free)[:, None, None] * jnp.eye(7)
-            + 1e-6 * jnp.eye(7))
+            + lam * jnp.eye(7))
         gf = g * free[:, None]
         Hd = Hf.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
         dx = jnp.linalg.solve(Hd, -gf.reshape(-1)).reshape(K, 7)
         dx = dx * free[:, None]
         R, t, s = lie.sim8_unpack(cur8)
         dR, dt, ds = lie.sim3_exp(dx)
-        Rn, tn, sn = lie.sim3_compose(dR, dt, ds, R, t, s)
-        return lie.sim8_pack(Rn, tn, sn), jnp.sum(r * r * w[:, None])
+        cand8 = lie.sim8_pack(*lie.sim3_compose(dR, dt, ds, R, t, s))
+        cost_cur = jnp.sum(r * r * w[:, None])
+        cost_new = edge_cost(cand8)
+        accept = cost_new < cost_cur
+        next8 = jnp.where(accept, cand8, cur8)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-6),
+                        jnp.minimum(lam * 10.0, 1e4))
+        return (next8, lam), cost_cur
 
-    out8, costs = jax.lax.scan(gn_iter, sim8, None, length=n_iters)
+    (out8, _), costs = jax.lax.scan(
+        lm_iter, (sim8, jnp.float32(1e-6)), None, length=n_iters)
     return out8, costs
 
 

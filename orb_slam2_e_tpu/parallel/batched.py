@@ -64,17 +64,12 @@ class BatchedTracker:
 
     def step(self, images, ref_kfs):
         """images: (B, H, W); returns (ok (B,), n_inliers (B,))."""
-        state, frames, ok, n_in, _ = self._step(
+        state, frames, vels, flags = self._step(
             self.state, images, self.last_frames, self.vels, self.have_vel,
             ref_kfs)
         self.state = state
-        # velocity update per lane
-        from ..ops import lie
-        R_c, t_c = lie.pose7_unpack(frames.pose7)
-        R_l, t_l = lie.pose7_unpack(self.last_frames.pose7)
-        R_li, t_li = jax.vmap(lie.se3_inverse)(R_l, t_l)
-        self.vels = lie.pose7_pack(*jax.vmap(lie.se3_compose)(
-            R_c, t_c, R_li, t_li))
+        self.vels = vels                        # computed on device
+        ok = flags[:, 0].astype(bool)
         self.have_vel = ok
         self.last_frames = frames
-        return ok, n_in
+        return ok, flags[:, 1]
