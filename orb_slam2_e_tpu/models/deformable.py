@@ -155,9 +155,16 @@ def pose_optimization_nr(cam: Camera, cfg: TrackConfig, nr: NRConfig,
 
     res = _ba_solve_nr(cam, prob, mesh, ke_all, parent_map,
                        jnp.float32(nr.w_se))
-    n_good = int(jnp.sum(res.obs_inlier[:nr.pts_cap]))
-    # write back: frame pose + moved landmark positions
-    frame = frame._replace(pose7=res.cam_pose7[0])
+    inl = res.obs_inlier[:nr.pts_cap]
+    n_good = int(jnp.sum(inl))
+    # write back: frame pose + moved landmark positions; unbind the frame's
+    # OUTLIER associations so subsequent widened projection searches can
+    # rebind those features (reference nulls mvbOutlier entries right after
+    # each dual optimization stage, Tracking.cc:1990-1993)
+    drop_rows = jnp.where(row_ok & ~inl, rows, frame.F)
+    frame = frame._replace(
+        pose7=res.cam_pose7[0],
+        point_ids=frame.point_ids.at[drop_rows].set(INVALID, mode='drop'))
     from ..ops.scatter import masked_set
     moved = row_ok
     state = state._replace(
@@ -196,7 +203,23 @@ def propagate_untracked(cam: Camera, nr: NRConfig, state: MapState,
               & (uv_np[:, 1] >= 0) & (uv_np[:, 1] < H))
     untracked = np.asarray(state.lm_valid) & in_img
     untracked[tracked_ids] = False
-    un_ids = np.where(untracked)[0][:nr.mode2_cap]
+    un_ids = np.where(untracked)[0]
+    if len(un_ids) > nr.mode2_cap:
+        # keep the untracked landmarks NEAREST the tracked surface — those
+        # are the ones the elastic propagation is meaningful for (native
+        # grid-hash KNN, the PCL KdTree stand-in; orb_slam2_e_tpu/native)
+        tracked_xyz = np.ascontiguousarray(old_pts[ok_np], np.float32)
+        un_xyz = np.asarray(state.lm_xyz)[un_ids].astype(np.float32)
+        from ..native import knn as native_knn
+        span = float(np.ptp(tracked_xyz, axis=0).max()) + 1e-6
+        nb = native_knn(tracked_xyz, un_xyz, k=1, cell=span / 8)
+        if nb is not None:
+            safe = np.clip(nb[:, 0], 0, len(tracked_xyz) - 1)
+            d = np.linalg.norm(un_xyz - tracked_xyz[safe], axis=1)
+            d[nb[:, 0] < 0] = np.inf
+            un_ids = un_ids[np.argsort(d)[:nr.mode2_cap]]
+        else:
+            un_ids = un_ids[:nr.mode2_cap]
     if len(un_ids) < 4:
         return state
     union_ids = np.concatenate([tracked_ids, un_ids])

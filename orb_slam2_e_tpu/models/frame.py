@@ -78,6 +78,33 @@ def frame_from_features(cam: Camera, feats: OrbFeatures,
     )
 
 
+def compact_frame(frame: Frame, priority: jnp.ndarray, out_cap: int):
+    """Select `out_cap` features from a larger-capacity frame, keeping
+    priority rows first, then highest response. Used by the monocular
+    initializer, whose 2x-feature extraction (reference Tracking.cc:131-134
+    mpIniORBextractor = 2 * nFeatures) must be reduced to the map's feature
+    capacity before keyframe insertion.
+
+    Returns (frame_out (out_cap rows), sel (out_cap,) source rows,
+    inv (F_in,) source row -> output row or -1)."""
+    F_in = frame.F
+    key = (priority.astype(jnp.float32) * 1e6
+           + frame.response.astype(jnp.float32))
+    key = jnp.where(frame.valid, key, -1.0)
+    order = jnp.argsort(-key)
+    sel = order[:out_cap]
+    inv = jnp.full((F_in,), INVALID).at[sel].set(
+        jnp.arange(out_cap, dtype=jnp.int32))
+    out = Frame(
+        pose7=frame.pose7,
+        uvr=frame.uvr[sel], uv_raw=frame.uv_raw[sel],
+        octave=frame.octave[sel], angle=frame.angle[sel],
+        response=frame.response[sel], desc=frame.desc[sel],
+        valid=frame.valid[sel], point_ids=frame.point_ids[sel],
+        depth=frame.depth[sel])
+    return out, sel, inv
+
+
 def sample_depth_at(depth_map: jnp.ndarray, uv: jnp.ndarray,
                     depth_factor: float = 1.0) -> jnp.ndarray:
     """Nearest-neighbor depth lookup at raw keypoint coords (RGB-D)."""

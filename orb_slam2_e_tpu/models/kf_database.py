@@ -62,7 +62,11 @@ def detect_relocalization_candidates(db: BowDatabase, q: jnp.ndarray,
 def detect_loop_candidates_full(db: BowDatabase, q: jnp.ndarray, state, kf):
     """Single-dispatch loop-candidate query: computes the covisibility
     exclusion set and the min-score gate on device, then ranks
-    (fuses the whole reference DetectLoop preamble, LoopClosing.cc:103-150)."""
+    (fuses the whole reference DetectLoop preamble, LoopClosing.cc:103-150).
+
+    Also returns each candidate's covisibility GROUP membership (5, K)
+    (candidate + its covisible keyframes) for the host-side group
+    consistency check (reference vConsistentGroups, LoopClosing.cc:150-225)."""
     covis = state.covisibility_row(kf)
     scores = query_scores(db, q)
     covis_mask = (covis >= 15) & state.kf_valid
@@ -74,19 +78,10 @@ def detect_loop_candidates_full(db: BowDatabase, q: jnp.ndarray, state, kf):
     s = jnp.where(exclude, -1.0, scores)
     s = jnp.where(s >= min_score, s, -1.0)
     top_s, top_k = jax.lax.top_k(s, 5)
-    return top_k, top_s
+    # candidate groups: one covisibility row per candidate
+    grp = jax.vmap(state.covisibility_row)(top_k) > 0        # (5, K)
+    K = grp.shape[1]
+    grp = grp | (jax.nn.one_hot(top_k, K, dtype=jnp.int32) > 0)
+    return top_k, top_s, grp
 
 
-@jax.jit
-def detect_loop_candidates(db: BowDatabase, q: jnp.ndarray,
-                           exclude: jnp.ndarray, min_score: jnp.ndarray,
-                           n_candidates: int = 5):
-    """Reference KeyFrameDatabase::DetectLoopCandidates
-    (src/KeyFrameDatabase.cc:76-190): exclude the query's covisible
-    keyframes, require score >= minScore (the minimum BoW similarity
-    between the query and its covisible neighbors)."""
-    scores = query_scores(db, q)
-    scores = jnp.where(exclude, -1.0, scores)
-    scores = jnp.where(scores >= min_score, scores, -1.0)
-    top_s, top_k = jax.lax.top_k(scores, n_candidates)
-    return top_k, top_s

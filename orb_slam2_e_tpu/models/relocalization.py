@@ -86,53 +86,52 @@ def relocalize_candidates(key, cam: Camera, cfg: TrackConfig,
 
 
 @functools.partial(jax.jit, static_argnames=('cfg',))
+def fullmap_search(cam: Camera, cfg: TrackConfig, state: MapState,
+                   frame: Frame, radius_scale, max_hamming):
+    """Project the ENTIRE landmark pool with the current pose estimate and
+    bind new matches (the E-addition ORBmatcher::SearchByProjection(Frame&,
+    Map*, ...) — reference src/ORBmatcher.cc:134-222).
+
+    The pool is scanned in chunks of cfg.local_points_cap so the search
+    covers ALL landmarks, not a truncated subset (no silent capacity clip).
+    Already-bound features are never stolen (search_landmarks_projected
+    masks them), so chunk-sequential binding is consistent.
+
+    Returns (frame, n_bound_total)."""
+    L = cfg.local_points_cap
+    P = state.P
+    n_chunks = -(-P // L)
+    R, t = lie.pose7_unpack(frame.pose7)
+
+    def body(frame, start):
+        raw = start + jnp.arange(L)
+        ids = jnp.clip(raw, 0, P - 1)
+        mask = state.lm_valid[ids] & (raw < P)
+        best_feat, dists, _ = search_landmarks_projected(
+            cam, cfg, R, t, state.lm_xyz[ids], state.lm_desc[ids], mask,
+            state.lm_max_dist[ids], state.lm_min_dist[ids],
+            state.lm_normal[ids], frame, radius_scale=radius_scale,
+            max_hamming=max_hamming, ratio=1.0, check_view_cos=False)
+        frame = bind_matches(frame, jnp.where(mask, ids, INVALID),
+                             best_feat, dists)
+        return frame, None
+
+    frame, _ = jax.lax.scan(body, frame,
+                            jnp.arange(n_chunks, dtype=jnp.int32) * L)
+    return frame, jnp.sum((frame.point_ids >= 0) & frame.valid)
+
+
+# Jitted motion-only pose optimization for the reloc ladder (reference
+# Optimizer::PoseOptimization call inside Tracking::Relocalization).
+optimize_pose = jax.jit(optimize_frame_pose, static_argnames=('cfg',))
+
+
 def fullmap_search_and_optimize(cam: Camera, cfg: TrackConfig,
                                 state: MapState, frame: Frame,
-                                radius_scale: float):
-    """Project the ENTIRE map with the current pose estimate and re-match
-    with TH_RELOC (the E-addition ORBmatcher::SearchByProjection(Frame&,
-    Map*, ...) — reference src/ORBmatcher.cc:134-222), then re-optimize."""
-    L = cfg.local_points_cap
-    (ids,) = jnp.nonzero(state.lm_valid, size=L, fill_value=0)
-    sub = jnp.arange(L) < jnp.sum(state.lm_valid)  # fill slots alias id 0
-    R, t = lie.pose7_unpack(frame.pose7)
-    best_feat, dists, _ = search_landmarks_projected(
-        cam, cfg, R, t, state.lm_xyz[ids], state.lm_desc[ids], sub,
-        state.lm_max_dist[ids], state.lm_min_dist[ids], state.lm_normal[ids],
-        frame, radius_scale=radius_scale, max_hamming=matching.TH_RELOC,
-        ratio=1.0, check_view_cos=False)
-    frame = bind_matches(frame, jnp.where(sub, ids, INVALID), best_feat, dists)
-    frame, n_in = optimize_frame_pose(cam, cfg, state, frame)
-    return frame, n_in
-
-
-def relocalize(key, cam: Camera, cfg: TrackConfig, state: MapState,
-               frame: Frame, cand_kfs, cand_ok):
-    """Host-orchestrated staged relocalization (reference S1/S2/S3 ladder,
-    Tracking.cc:1951-2107). Returns (frame, success, n_inliers)."""
-    pose7, n_pnp, pid = relocalize_candidates(
-        key, cam, cfg, state, frame, cand_kfs, cand_ok)
-    if int(n_pnp) < MIN_BOW_MATCHES:
-        # pose-histogram fallback (E-overload, reference PnPsolver.cc:403-634):
-        # even a sub-threshold RANSAC pose is tried against the FULL map;
-        # > 30 projection matches rescues the attempt.
-        if int(n_pnp) >= 4:      # PnP minimal sample; fewer = unconstrained
-            f2 = frame._replace(pose7=pose7, point_ids=pid)
-            f2, n_in = fullmap_search_and_optimize(cam, cfg, state, f2, 3.0)
-            if int(n_in) > 30:
-                frame = f2
-                if int(n_in) < RELOC_GOOD:
-                    frame, n_in = fullmap_search_and_optimize(
-                        cam, cfg, state, frame, 10.0)
-                return frame, int(n_in) >= RELOC_GOOD, int(n_in)
-        return frame, False, 0
-    frame = frame._replace(pose7=pose7, point_ids=pid)
-    frame, n_in = optimize_frame_pose(cam, cfg, state, frame)
-    # Stage escalation: widen the projection search until enough inliers
-    for radius in (3.0, 10.0):      # S2/S3 widening (Tracking.cc:2014-2095)
-        if int(n_in) >= RELOC_GOOD:
-            break
-        frame, n_in = fullmap_search_and_optimize(cam, cfg, state, frame,
-                                                  radius)
-    ok = int(n_in) >= RELOC_GOOD
-    return frame, ok, int(n_in)
+                                radius_scale: float,
+                                max_hamming: int = matching.TH_RELOC):
+    """Full-map projection search then rigid pose re-optimization."""
+    frame, _ = fullmap_search(cam, cfg, state, frame,
+                              jnp.float32(radius_scale),
+                              jnp.int32(max_hamming))
+    return optimize_pose(cam, cfg, state, frame)

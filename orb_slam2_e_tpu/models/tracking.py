@@ -243,6 +243,7 @@ def track_local_map(cam: Camera, cfg: TrackConfig, state: MapState,
     lm_local &= ~(marker > 0)
     # --- compact to subset ---
     L = cfg.local_points_cap
+    clipped = (jnp.sum(lm_local) > L).astype(jnp.int32)
     (ids,) = jnp.nonzero(lm_local, size=L, fill_value=0)
     sub_mask = jnp.arange(L) < jnp.sum(lm_local)   # fill slots alias id 0
     R, t = lie.pose7_unpack(frame.pose7)
@@ -262,7 +263,7 @@ def track_local_map(cam: Camera, cfg: TrackConfig, state: MapState,
     fin = (frame.point_ids >= 0) & frame.valid
     found = jnp.zeros((state.P,), bool).at[
         jnp.where(fin, frame.point_ids, 0)].max(fin)
-    return frame, n_in, visible, found
+    return frame, n_in, visible, found, clipped
 
 
 @jax.jit
@@ -305,7 +306,7 @@ def track_frame_fused(cam: Camera, cfg: TrackConfig, state: MapState,
     stage1_ok = mm_ok | (n_in_rf >= cfg.min_inliers_motion)
 
     # --- stage 3: local map ---
-    f2, n_in, visible, found = track_local_map(cam, cfg, state, f1)
+    f2, n_in, visible, found, clipped = track_local_map(cam, cfg, state, f1)
     state = update_visibility_counters(state, visible & stage1_ok,
                                        found & stage1_ok)
     ok = stage1_ok & (n_in >= cfg.min_inliers_map)
@@ -321,7 +322,8 @@ def track_frame_fused(cam: Camera, cfg: TrackConfig, state: MapState,
     vel_new = lie.pose7_pack(*lie.se3_compose(R_c, t_c, R_li, t_li))
     flags = jnp.stack([ok.astype(jnp.int32),
                        jnp.where(stage1_ok, n_in, 0).astype(jnp.int32),
-                       ref_matches.astype(jnp.int32)])
+                       ref_matches.astype(jnp.int32),
+                       clipped])
     return state, frame_out, vel_new, flags
 
 
@@ -400,6 +402,24 @@ def mono_init_match(cfg: TrackConfig, f_ref: Frame, f_cur: Frame):
         angles=(f_ref.angle, f_cur.angle))
     idx = matching.resolve_duplicates(idx, dist, f_cur.F)
     return idx, jnp.sum(idx >= 0)
+
+
+@functools.partial(jax.jit, static_argnames=('out_cap',))
+def mono_init_compact(f_ref: Frame, f_cur: Frame, midx, out_cap: int):
+    """Reduce the 2x-feature initializer frames (reference Tracking.cc:131-134
+    uses a doubled-budget extractor during monocular init) to the map's
+    feature capacity, keeping matched pairs first, and remap the match
+    indices. Returns (f_ref', f_cur', midx')."""
+    from .frame import compact_frame
+    ok_pair = midx >= 0
+    f_ref_c, ref_sel, _ = compact_frame(f_ref, ok_pair, out_cap)
+    cur_matched = jnp.zeros((f_cur.F,), bool).at[
+        jnp.where(ok_pair, midx, 0)].max(ok_pair)
+    f_cur_c, _, cur_inv = compact_frame(f_cur, cur_matched, out_cap)
+    m_old = midx[ref_sel]
+    midx_c = jnp.where(m_old >= 0,
+                       cur_inv[jnp.where(m_old >= 0, m_old, 0)], INVALID)
+    return f_ref_c, f_cur_c, midx_c
 
 
 @functools.partial(jax.jit, static_argnames=('cfg',))

@@ -4,14 +4,14 @@ Builds `libslamgeom.so` from src/geometry.cpp and `libslamio.so` from
 src/imageio.cpp on first use (g++ -O3) and exposes:
   - delaunay(points_xy) -> (T, 3) int32 triangles
   - knn(points_xyz, queries_xyz, k) -> (M, k) int32 neighbor indices
-  - distribute_quadtree(uv, response, bounds, n_target) -> kept indices
   - read_gray8/read_u16(path) -> np arrays (libpng decode)
   - ImagePrefetcher(paths, ...) -> ordered multi-threaded frame loader
 
 These are the host-side native replacements for the reference's PCL
-(meshing/KD-tree), quadtree keypoint distribution, and cv::imread dataset
-IO; ops/fem.py uses `delaunay` when available and falls back to scipy,
-utils/datasets falls back to cv2/PIL when the native lib is unavailable.
+(meshing/KD-tree — `delaunay` feeds the FEM mesh, `knn` selects the
+untracked landmarks for mode-2 deformation propagation) and cv::imread
+dataset IO; ops/fem.py falls back to scipy when the lib is unavailable,
+utils/datasets falls back to cv2/PIL.
 """
 
 from __future__ import annotations
@@ -55,11 +55,6 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_float, ctypes.POINTER(ctypes.c_int)]
-        lib.distribute_quadtree.restype = ctypes.c_int
-        lib.distribute_quadtree.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_float,
-            ctypes.c_float, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
         _lib = lib
     except Exception:
         _lib = None
@@ -100,20 +95,6 @@ def knn(points: np.ndarray, queries: np.ndarray, k: int,
     lib.knn_query(_fptr(pts), len(pts), _fptr(q), len(q), k,
                   ctypes.c_float(cell), _iptr(out))
     return out
-
-
-def distribute_quadtree(uv: np.ndarray, response: np.ndarray,
-                        bounds, n_target: int) -> "np.ndarray | None":
-    lib = get_lib()
-    if lib is None:
-        return None
-    uvf = np.ascontiguousarray(uv, np.float32)
-    rf = np.ascontiguousarray(response, np.float32)
-    keep = np.empty((n_target,), np.int32)
-    x0, y0, x1, y1 = bounds
-    cnt = lib.distribute_quadtree(_fptr(uvf), _fptr(rf), len(uvf),
-                                  x0, y0, x1, y1, n_target, _iptr(keep))
-    return keep[:cnt].copy()
 
 
 # ---------------------------------------------------------------------------

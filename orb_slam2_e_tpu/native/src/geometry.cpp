@@ -185,63 +185,4 @@ void knn_query(const float* pts, int n, const float* queries, int m, int k,
   }
 }
 
-// ---------------------------------------------------------------------------
-// Quadtree keypoint distribution
-// ---------------------------------------------------------------------------
-
-namespace {
-struct QNode {
-  float x0, y0, x1, y1;
-  std::vector<int> pts;
-};
-}  // namespace
-
-// uv: (n, 2), response: (n,). Select <= n_target spread-out keypoints by
-// recursive subdivision, keeping the best-response point per final node
-// (same policy as reference DistributeOctTree).
-int distribute_quadtree(const float* uv, const float* response, int n,
-                        float x0, float y0, float x1, float y1, int n_target,
-                        int* keep_idx) {
-  std::vector<QNode> nodes;
-  QNode root{x0, y0, x1, y1, {}};
-  root.pts.reserve(n);
-  for (int i = 0; i < n; i++) root.pts.push_back(i);
-  nodes.push_back(std::move(root));
-
-  // subdivide the node with most points until enough nodes or indivisible
-  while ((int)nodes.size() < n_target) {
-    int best = -1;
-    size_t most = 1;
-    for (size_t i = 0; i < nodes.size(); i++)
-      if (nodes[i].pts.size() > most) {
-        most = nodes[i].pts.size();
-        best = (int)i;
-      }
-    if (best < 0) break;  // all nodes have <= 1 point
-    QNode nd = std::move(nodes[best]);
-    nodes.erase(nodes.begin() + best);
-    float mx = (nd.x0 + nd.x1) / 2, my = (nd.y0 + nd.y1) / 2;
-    QNode q[4] = {{nd.x0, nd.y0, mx, my, {}},
-                  {mx, nd.y0, nd.x1, my, {}},
-                  {nd.x0, my, mx, nd.y1, {}},
-                  {mx, my, nd.x1, nd.y1, {}}};
-    for (int i : nd.pts) {
-      int ix = uv[2 * i] >= mx ? 1 : 0;
-      int iy = uv[2 * i + 1] >= my ? 1 : 0;
-      q[iy * 2 + ix].pts.push_back(i);
-    }
-    for (auto& c : q)
-      if (!c.pts.empty()) nodes.push_back(std::move(c));
-  }
-  int count = 0;
-  for (auto& nd : nodes) {
-    if (nd.pts.empty() || count >= n_target) continue;
-    int best = nd.pts[0];
-    for (int i : nd.pts)
-      if (response[i] > response[best]) best = i;
-    keep_idx[count++] = best;
-  }
-  return count;
-}
-
 }  // extern "C"

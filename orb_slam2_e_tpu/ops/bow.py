@@ -47,59 +47,90 @@ def _level_offset(k: int, l: int) -> int:
     return (k ** l - k) // (k - 1) if k > 1 else 0
 
 
-def train_vocabulary(descriptors: np.ndarray, k: int = 10, L: int = 4,
-                     iters: int = 8, seed: int = 0) -> Vocabulary:
-    """Hierarchical binary k-medians (host-side, offline — the reference
-    vocabulary was likewise trained offline, Dependencies.md DBoW2 notes).
+_POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(1).astype(np.uint8)
 
-    descriptors: (N, 32) uint8 packed."""
+
+def _hamming_packed(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N, 32) x (M, 32) packed uint8 -> (N, M) int32 Hamming distances
+    via XOR + popcount lookup (host-side trainer hot loop)."""
+    x = a[:, None, :] ^ b[None, :, :]
+    return _POPCNT[x].sum(-1, dtype=np.int32)
+
+
+def train_vocabulary(descriptors: np.ndarray, k: int = 10, L: int = 4,
+                     iters: int = 8, seed: int = 0,
+                     doc_ids: np.ndarray = None,
+                     verbose: bool = False) -> Vocabulary:
+    """Hierarchical binary k-medians (host-side, offline — the reference
+    vocabulary was likewise trained offline from a large image corpus;
+    reference include/ORBVocabulary.h:30 uses k=10, L=6).
+
+    descriptors: (N, 32) uint8 packed. Works packed throughout (XOR +
+    popcount), so corpora of 10^5-10^6 descriptors train in minutes.
+    doc_ids: optional (N,) int document id per descriptor (source image)
+    for proper idf; defaults to one pseudo-document per 500 descriptors."""
     rng = np.random.RandomState(seed)
-    bits = np.unpackbits(descriptors, axis=1, bitorder='little')  # (N, 256)
+    packed = np.ascontiguousarray(descriptors, dtype=np.uint8)
+    N = len(packed)
+
+    def majority(data):
+        """Bitwise-majority center of packed rows -> packed row."""
+        bits = np.unpackbits(data, axis=1, bitorder='little')
+        return np.packbits(bits.mean(0) > 0.5, bitorder='little')
 
     def kmedians(data, k):
-        if len(data) == 0:
-            return np.zeros((k, bits.shape[1]), np.uint8)
         init = data[rng.choice(len(data), min(k, len(data)), replace=False)]
-        centers = np.zeros((k, data.shape[1]), np.uint8)
+        centers = np.zeros((k, 32), np.uint8)
         centers[:len(init)] = init
+        a = None
         for _ in range(iters):
-            d = (data[:, None, :] != centers[None, :, :]).sum(-1)  # (N, k)
-            a = d.argmin(1)
+            d = _hamming_packed(data, centers)
+            a_new = d.argmin(1)
+            if a is not None and (a_new == a).all():
+                break
+            a = a_new
             for j in range(k):
                 sel = data[a == j]
                 if len(sel):
-                    centers[j] = (sel.mean(0) > 0.5).astype(np.uint8)
-        d = (data[:, None, :] != centers[None, :, :]).sum(-1)
+                    centers[j] = majority(sel)
+        d = _hamming_packed(data, centers)
         return centers, d.argmin(1)
 
-    # breadth-first split
-    n_internal_levels = L
     all_nodes = []
-    assignments = [np.zeros(len(bits), np.int64)]  # cluster id per level
-    for l in range(n_internal_levels):
+    assign = np.zeros(N, np.int64)       # cluster id at the current level
+    for l in range(L):
         n_clusters = k ** l
-        next_assign = np.zeros(len(bits), np.int64)
-        level_nodes = np.zeros((n_clusters * k, bits.shape[1]), np.uint8)
+        next_assign = np.zeros(N, np.int64)
+        level_nodes = np.zeros((n_clusters * k, 32), np.uint8)
+        order = np.argsort(assign, kind='stable')
+        bounds = np.searchsorted(assign[order], np.arange(n_clusters + 1))
         for c in range(n_clusters):
-            sel = assignments[-1] == c
-            data = bits[sel]
-            if len(data) >= 1:
-                centers, a = kmedians(data, k)
+            sel = order[bounds[c]:bounds[c + 1]]
+            if len(sel) >= 1:
+                centers, a = kmedians(packed[sel], k)
                 level_nodes[c * k:(c + 1) * k] = centers
                 next_assign[sel] = c * k + a
             # empty cluster: zero centers (dead branch)
         all_nodes.append(level_nodes)
-        assignments.append(next_assign)
-    node_bits = np.concatenate(all_nodes, axis=0).astype(np.int8)
+        assign = next_assign
+        if verbose:
+            print(f"  vocab level {l + 1}/{L}: "
+                  f"{len(np.unique(assign))} live clusters")
+    node_packed = np.concatenate(all_nodes, axis=0)
+    node_bits = np.unpackbits(node_packed, axis=1,
+                              bitorder='little').astype(np.int8)
 
-    # idf from training corpus treated as one pseudo-document per 500 desc
+    # idf over training documents (reference TemplatedVocabulary::create
+    # weights words by inverse document frequency)
     W = k ** L
-    word_of = assignments[-1]
-    n_docs = max(len(bits) // 500, 1)
+    if doc_ids is None:
+        doc_ids = np.arange(N) // 500
+    docs, doc_idx = np.unique(doc_ids, return_inverse=True)
+    n_docs = max(len(docs), 1)
     df = np.zeros(W)
-    for d0 in range(n_docs):
-        words = np.unique(word_of[d0 * 500:(d0 + 1) * 500])
-        df[words] += 1
+    pairs = np.unique(np.stack([doc_idx, assign]), axis=1)
+    np.add.at(df, pairs[1], 1.0)
     idf = np.log(n_docs / np.maximum(df, 1.0)) + 1e-3
     return Vocabulary(node_bits=jnp.asarray(node_bits), k=k, L=L,
                       idf=jnp.asarray(idf, jnp.float32))
@@ -145,9 +176,12 @@ def l1_score(db: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 
 def vocabulary_to_arrays(voc: Vocabulary) -> dict:
     """Flatten for npz checkpointing (reference ships its vocabulary as a
-    text file, ORBvoc.txt — here it rides in the map checkpoint)."""
+    text file, ORBvoc.txt — here it rides in the map checkpoint / a small
+    npz artifact). Node centers are stored bit-packed (32 B/node)."""
+    packed = np.packbits(np.asarray(voc.node_bits).astype(np.uint8),
+                         axis=1, bitorder='little')
     return {
-        "voc_node_bits": np.asarray(voc.node_bits),
+        "voc_nodes_packed": packed,
         "voc_k": np.asarray(voc.k),
         "voc_L": np.asarray(voc.L),
         "voc_idf": np.asarray(voc.idf),
@@ -155,9 +189,14 @@ def vocabulary_to_arrays(voc: Vocabulary) -> dict:
 
 
 def vocabulary_from_arrays(d: dict) -> "Vocabulary | None":
-    if "voc_node_bits" not in d:
+    if "voc_nodes_packed" in d:
+        bits = np.unpackbits(np.asarray(d["voc_nodes_packed"]), axis=1,
+                             bitorder='little').astype(np.int8)
+    elif "voc_node_bits" in d:       # legacy unpacked checkpoints
+        bits = np.asarray(d["voc_node_bits"], np.int8)
+    else:
         return None
-    return Vocabulary(node_bits=jnp.asarray(d["voc_node_bits"]),
+    return Vocabulary(node_bits=jnp.asarray(bits),
                       k=int(d["voc_k"]), L=int(d["voc_L"]),
                       idf=jnp.asarray(d["voc_idf"]))
 

@@ -284,8 +284,12 @@ class OrbExtractor:
         self.capacity = sum(self.quotas)
         self.scales = [scale_factor ** i for i in range(n_levels)]
         if use_pallas is None:
-            from . import pallas_kernels as _pk
-            use_pallas = _pk.tpu_available()
+            import os
+            if os.environ.get("ORB_SLAM2_E_TPU_NO_PALLAS"):
+                use_pallas = False     # kernel-exoneration switch (tests/README)
+            else:
+                from . import pallas_kernels as _pk
+                use_pallas = _pk.tpu_available()
         self.use_pallas = bool(use_pallas)
         self._jitted = jax.jit(self._extract)
 

@@ -16,9 +16,17 @@ from typing import Optional
 
 
 RELOC_COLUMNS = [
-    # reference output/evaluation/StatsReloc.txt header (§6 SURVEY.md)
-    "Frame", "nCandidates", "nPnPInliers", "Time_PnP", "nGoodR", "timeR",
-    "nGoodNR", "timeNR", "Stage", "Accepted",
+    # Column semantics mirror reference output/evaluation/StatsReloc.txt
+    # (header: KF_candidates, Inliers_PnP_R, Time_PnP_R, ..., then a
+    # [nGoodR timeR nGoodD timeD] quadruple appended per attempted stage —
+    # reference src/Tracking.cc:1716-2099 pStatsReloc->AddValue sequence).
+    # Here the three stage quadruples get fixed columns (S1/S2/S3) so every
+    # row has the same arity.
+    "Frame", "KF_candidates", "Inliers_PnP_R", "Time_PnP_R",
+    "nGoodR_S1", "timeR_S1", "nGoodNR_S1", "timeNR_S1",
+    "nGoodR_S2", "timeR_S2", "nGoodNR_S2", "timeNR_S2",
+    "nGoodR_S3", "timeR_S3", "nGoodNR_S3", "timeNR_S3",
+    "Stage", "Accepted",
 ]
 
 
@@ -84,11 +92,17 @@ class RelocKpi:
     def on_reloc_fail(self):
         self.fn += 1
 
-    def on_frame_tracked(self, frame_id: int):
+    def on_frame_tracked(self, frame_id: int) -> bool:
+        """Returns True when this frame registers a TP (track held for
+        n_precision frames after the last reloc) — the reference forces
+        bOK=false exactly at that moment under bTestAllFrames
+        (reference Tracking.cc:497-501)."""
         if self._pending is not None and \
                 frame_id - self._pending >= self.n_precision:
             self.tp += 1
             self._pending = None
+            return True
+        return False
 
     def on_frame_lost(self, frame_id: int):
         if self._pending is not None:

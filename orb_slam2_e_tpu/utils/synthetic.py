@@ -83,6 +83,50 @@ class SyntheticScene:
         return dm
 
 
+def make_ring_scene(n_points=600, seed=0, ring_radius=9.0, height=2.5,
+                    **kwargs) -> "SyntheticScene":
+    """Scene whose points lie on a cylindrical band around the origin —
+    paired with `circle_trajectory` for loop-closure tests (the camera
+    travels a circle looking outward and re-observes the start)."""
+    rng = np.random.RandomState(seed)
+    scene = SyntheticScene(n_points=n_points, seed=seed, **kwargs)
+    theta = rng.uniform(0, 2 * np.pi, n_points)
+    r = ring_radius + rng.uniform(-1.0, 1.0, n_points)
+    y = rng.uniform(-height, height, n_points)
+    scene.xyz = np.stack([r * np.sin(theta), y, r * np.cos(theta)],
+                         1).astype(np.float32)
+    return scene
+
+
+def circle_trajectory(n_frames=64, radius=2.0, frac=1.1, seed=0,
+                      jitter=0.0):
+    """Camera centers on a circle of `radius` in the x-z plane, optical
+    axis pointing radially OUTWARD; `frac` > 1 closes the loop and keeps
+    going so the revisit lasts several keyframes. Returns ([(R, t)], centers)
+    world-to-camera."""
+    rng = np.random.RandomState(seed)
+    poses, centers = [], []
+    for k in range(n_frames):
+        th = 2 * np.pi * frac * k / n_frames
+        c = np.array([radius * np.sin(th), 0.0, radius * np.cos(th)],
+                     np.float32)
+        # camera axes in world coords: z = outward radial, x = tangent,
+        # y = world y
+        zax = np.array([np.sin(th), 0.0, np.cos(th)], np.float32)
+        xax = np.array([np.cos(th), 0.0, -np.sin(th)], np.float32)
+        yax = np.array([0.0, 1.0, 0.0], np.float32)
+        Rwc = np.stack([xax, yax, zax], 1)
+        if jitter:
+            dR = np.asarray(lie.so3_exp(jnp.asarray(
+                rng.randn(3).astype(np.float32) * jitter)))
+            Rwc = Rwc @ dR
+        R = Rwc.T
+        t = -R @ c
+        poses.append((R.astype(np.float32), t.astype(np.float32)))
+        centers.append(c)
+    return poses, np.stack(centers)
+
+
 def orbit_trajectory(n_frames=30, radius=0.8, forward=0.02, seed=0,
                      jitter=0.0):
     """Smooth sideways+forward sweep; returns list of (R, t) Tcw poses

@@ -73,20 +73,6 @@ def test_knn(lib):
         assert len(brute & set(idx[i])) >= 4
 
 
-def test_distribute_quadtree(lib):
-    rng = np.random.RandomState(4)
-    uv = rng.rand(500, 2).astype(np.float32) * 100
-    resp = rng.rand(500).astype(np.float32)
-    keep = native.distribute_quadtree(uv, resp, (0, 0, 100, 100), 50)
-    assert keep is not None
-    assert 25 <= len(keep) <= 50
-    assert len(np.unique(keep)) == len(keep)
-    # spread: selected points should cover multiple quadrants
-    sel = uv[keep]
-    quads = set((tuple(q) for q in (sel // 50).astype(int)))
-    assert len(quads) >= 3
-
-
 def test_native_imageio_roundtrip(tmp_path):
     """libpng decode: gray8 exact, rgb->gray BT.601, u16 depth exact,
     prefetcher ordered."""

@@ -1,0 +1,80 @@
+"""Vocabulary: offline-trained artifact + transform/scoring invariants.
+
+The reference ships a pretrained ~1M-word ORBvoc (reference
+include/ORBVocabulary.h:30, build.sh untar); ours is trained offline by
+tools/train_vocab.py over rendered corpora and shipped as
+orb_slam2_e_tpu/assets/vocab.npz (bit-packed)."""
+
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orb_slam2_e_tpu.ops import bow
+
+ASSET = Path(__file__).resolve().parents[1] / "orb_slam2_e_tpu" / "assets" \
+    / "vocab.npz"
+
+
+def test_train_transform_roundtrip_small():
+    """Training invariants on a small synthetic corpus: every training
+    descriptor lands in a leaf whose center is Hamming-near it."""
+    rng = np.random.RandomState(0)
+    centers = rng.randint(0, 256, (32, 32), np.uint8)
+    corpus = np.repeat(centers, 40, axis=0)
+    flip = rng.rand(*np.unpackbits(corpus, axis=1).shape) < 0.02
+    bits = np.unpackbits(corpus, axis=1) ^ flip.astype(np.uint8)
+    corpus = np.packbits(bits, axis=1)
+    voc = bow.train_vocabulary(corpus, k=4, L=3, iters=5)
+    assert voc.n_words == 64
+    words, _ = bow.transform(voc, jnp.asarray(corpus[:200]),
+                             jnp.ones(200, bool))
+    words = np.asarray(words)
+    assert words.min() >= 0 and words.max() < 64
+    # same source cluster -> same word (consistency over near-duplicates)
+    w = words.reshape(5, 40)
+    agree = [(np.bincount(row).max() / len(row)) for row in w]
+    assert np.mean(agree) > 0.8
+
+
+def test_idf_document_weighting():
+    """A word present in every document gets near-zero idf; a rare one
+    gets a high weight."""
+    rng = np.random.RandomState(1)
+    common = np.zeros((1, 32), np.uint8)
+    rare = np.full((1, 32), 255, np.uint8)
+    docs, descs = [], []
+    for d in range(10):
+        block = rng.randint(0, 2, (20, 32)).astype(np.uint8)  # near-common
+        descs += [common, block]
+        docs += [np.full(1, d), np.full(20, d)]
+    descs.append(rare)
+    docs.append(np.full(1, 9))
+    desc = np.concatenate(descs)
+    doc_ids = np.concatenate(docs)
+    voc = bow.train_vocabulary(desc, k=4, L=2, iters=5, doc_ids=doc_ids)
+    wc, _ = bow.transform(voc, jnp.asarray(common), jnp.ones(1, bool))
+    wr, _ = bow.transform(voc, jnp.asarray(rare), jnp.ones(1, bool))
+    assert float(voc.idf[int(wr[0])]) > float(voc.idf[int(wc[0])])
+
+
+@pytest.mark.skipif(not ASSET.exists(), reason="vocab asset not built")
+def test_pretrained_asset_quality():
+    """The shipped artifact: >= 10^4 words and a measured discrimination
+    margin (top-1 vs median BoW score over >= 64 distinct frames,
+    recorded at training time by tools/train_vocab.py)."""
+    d = dict(np.load(ASSET))
+    voc = bow.vocabulary_from_arrays(d)
+    assert voc is not None
+    assert voc.n_words >= 10_000
+    assert int(d["meta_corpus"]) >= 100_000
+    assert float(d["meta_margin"]) > 0.05, float(d["meta_margin"])
+    # functional: transform + scoring on random descriptors
+    rng = np.random.RandomState(2)
+    desc = rng.randint(0, 256, (64, 32), np.uint8)
+    words, _ = bow.transform(voc, jnp.asarray(desc), jnp.ones(64, bool))
+    v = bow.bow_vector(voc, words, jnp.ones(64, bool))
+    assert np.isclose(float(jnp.sum(jnp.abs(v))), 1.0, atol=1e-3)
+    s = bow.l1_score(v[None, :], v)
+    assert np.isclose(float(s[0]), 1.0, atol=1e-4)
