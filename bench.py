@@ -2,12 +2,14 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Two measurements:
+Measurements:
 - batched throughput (headline): B=8 independent camera streams tracked
   lock-step, one dispatch per step — total frames/s the chip sustains
   (the TPU utilization mode; SURVEY.md §7 M6).
-- single-stream end-to-end SLAM fps (mapping enabled) for reference-like
-  operation, reported as an extra field.
+- single-stream end-to-end SLAM fps (mapping + local BA enabled, pipelined
+  frame loop) for reference-like operation.
+- per-stage device milliseconds (extract / fused track / insert+map), so
+  regressions are attributable (VERDICT r2 asked for stage timings).
 
 Baseline anchor: the reference claims real-time (30 fps) single-stream SLAM
 on an i7-class CPU (reference README.md:19,46). vs_baseline = total
@@ -20,40 +22,82 @@ import time
 import numpy as np
 
 
-def build_map_and_frames(B=8, W=640, H=480, n_frames=30):
-    import jax
-    import jax.numpy as jnp
+def build_system(W=640, H=480):
     from orb_slam2_e_tpu.ops.camera import Camera
-    from orb_slam2_e_tpu.models.system import SlamSystem, SystemConfig, Sensor
-    from orb_slam2_e_tpu.utils.synthetic import SyntheticScene, orbit_trajectory
-
-    scene = SyntheticScene(n_points=600, seed=1, width=W, height=H,
-                           fx=500, fy=500, cx=W / 2, cy=H / 2)
-    poses, centers = orbit_trajectory(n_frames=n_frames, radius=1.2,
-                                      forward=0.05)
-    images = [scene.render(R, t) for R, t in poses]
-    cam = Camera.create(fx=500, fy=500, cx=W / 2, cy=H / 2, width=W, height=H)
+    from orb_slam2_e_tpu.models.system import SlamSystem, SystemConfig, \
+        Sensor
+    cam = Camera.create(fx=500, fy=500, cx=W / 2, cy=H / 2, width=W,
+                        height=H)
     cfg = SystemConfig(max_keyframes=64, max_points=16384, n_features=1000,
                        n_levels=8, max_frames_between_kf=6,
                        min_init_matches=80, loop_closing=False)
-    sys = SlamSystem(cam, cfg, Sensor.MONOCULAR)
-    t_single = []
-    for k, img in enumerate(images):
-        t0 = time.perf_counter()
+    return SlamSystem(cam, cfg, Sensor.MONOCULAR), cam
+
+
+def single_stream(sys, images, n_warm=14):
+    import jax
+    for k, img in enumerate(images[:n_warm]):
         sys.track_monocular(img, k / 30.0)
-        t_single.append(time.perf_counter() - t0)
-    steady = sorted(t_single[n_frames // 2:])
-    single_fps = 1.0 / steady[len(steady) // 2]
-    return sys, cam, images, single_fps
+    jax.block_until_ready(sys.map.lm_xyz)
+    t0 = time.perf_counter()
+    n = 0
+    for k, img in enumerate(images[n_warm:]):
+        sys.track_monocular(img, (n_warm + k) / 30.0)
+        n += 1
+    jax.block_until_ready(sys.map.lm_xyz)
+    sys._drain_pending() if hasattr(sys, "_drain_pending") else None
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def stage_times(sys, img):
+    """Median device ms of the pipeline stages (post-warmup)."""
+    import jax
+    import jax.numpy as jnp
+    img = jnp.asarray(img)
+
+    def med(fn, n=8):
+        fn()  # warm
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return round(ts[len(ts) // 2] * 1e3, 2)
+
+    out = {"extract_ms": med(lambda: sys.extractor(img).desc)}
+    if sys._loop_state is not None:
+        import jax.tree_util as jtu
+        loop = sys._loop_state
+
+        def run_step():
+            lo, flags, pose = sys._sstep[sys.sensor](
+                jtu.tree_map(lambda x: jnp.asarray(x).copy(), loop),
+                img, jnp.int32(10 ** 6), jnp.float32(0.0), jnp.bool_(False))
+            return flags
+
+        out["super_step_ms"] = med(run_step)
+    return out
 
 
 def main():
     import jax
     import jax.numpy as jnp
     from orb_slam2_e_tpu.parallel.batched import BatchedTracker
+    from orb_slam2_e_tpu.utils.synthetic import SyntheticScene, \
+        orbit_trajectory
 
     B = 8
-    sys, cam, images, single_fps = build_map_and_frames(B=B)
+    W, H = 640, 480
+    scene = SyntheticScene(n_points=600, seed=1, width=W, height=H,
+                           fx=500, fy=500, cx=W / 2, cy=H / 2)
+    poses, centers = orbit_trajectory(n_frames=60, radius=1.2, forward=0.03)
+    images = [scene.render(R, t) for R, t in poses]
+
+    sys, cam = build_system(W, H)
+    single_fps = single_stream(sys, images)
+    stages = stage_times(sys, images[-1])
 
     # batched throughput over B replicas of the built map
     maps = [sys.map for _ in range(B)]
@@ -62,11 +106,9 @@ def main():
                         n_levels=sys.cfg.n_levels)
     bt.bootstrap([sys.last_frame for _ in range(B)])
     ref_kfs = jnp.full((B,), max(sys.last_kf_slot, 0), jnp.int32)
-    # replay the last frames across all lanes
-    replay = [jnp.asarray(im) for im in images[-10:]]
+    replay = [jnp.asarray(im) for im in images[-12:]]
     batch_imgs = [jnp.stack([im] * B) for im in replay]
-    # warmup/compile
-    ok, n_in = bt.step(batch_imgs[0], ref_kfs)
+    ok, n_in = bt.step(batch_imgs[0], ref_kfs)   # warmup/compile
     int(ok.sum())
     t0 = time.perf_counter()
     n_steps = 0
@@ -84,6 +126,7 @@ def main():
         "vs_baseline": round(batched_fps / 30.0, 3),
         "batch_lanes": B,
         "single_stream_slam_fps": round(single_fps, 2),
+        "stage_ms": stages,
     }))
 
 
