@@ -41,7 +41,9 @@ class BatchedTracker:
 
         ext = self.extractor
 
-        @jax.jit
+        # donate the lane state: the per-lane map pools update in place on
+        # device instead of being copied every step
+        @functools.partial(jax.jit, donate_argnums=(0, 2, 3))
         def step(state, images, last_frames, vels, have_vel, ref_kfs):
             def one(state_i, img, last, vel, hv, rk):
                 feats = ext._extract(img)
