@@ -99,6 +99,35 @@ def pnp_planar(xyz: jnp.ndarray, uv_n: jnp.ndarray):
     return R, t
 
 
+def pnp_dlt_weighted(xyz: jnp.ndarray, uv_n: jnp.ndarray, w: jnp.ndarray):
+    """DLT refit over a weighted (masked) point set of any size.
+
+    Solves the same (2n, 12) system as `pnp_dlt` but via the 12x12 normal
+    matrix (eigh), so n can be the full frame capacity without a giant SVD.
+    Plays the role of the reference's post-RANSAC `Refine()` over the
+    inlier set (reference src/PnPsolver.cc:356-396)."""
+    n = xyz.shape[0]
+    zeros = jnp.zeros((n, 4))
+    Xh = jnp.concatenate([xyz, jnp.ones((n, 1))], axis=1)
+    rows_u = jnp.concatenate([Xh, zeros, -uv_n[:, :1] * Xh], axis=1)
+    rows_v = jnp.concatenate([zeros, Xh, -uv_n[:, 1:2] * Xh], axis=1)
+    A = jnp.concatenate([rows_u, rows_v], axis=0)            # (2n, 12)
+    ww = jnp.concatenate([w, w])[:, None]
+    G = (A * ww).T @ A                                       # (12, 12)
+    _, vecs = jnp.linalg.eigh(G)
+    P = vecs[:, 0].reshape(3, 4)
+    M = P[:, :3]
+    P = P * jnp.sign(jnp.linalg.det(M))
+    M = P[:, :3]
+    scale = jnp.exp(jnp.log(jnp.maximum(
+        jnp.abs(jnp.linalg.det(M)), 1e-12)) / 3.0)
+    t = P[:, 3] / scale
+    U, _, Vt = jnp.linalg.svd(M / scale)
+    R = U @ Vt
+    R = R * jnp.sign(jnp.linalg.det(R))
+    return R, t
+
+
 class PnPResult(NamedTuple):
     R: jnp.ndarray          # (B, 3, 3) hypothesis rotations (ranked)
     t: jnp.ndarray          # (B, 3)
@@ -166,8 +195,26 @@ def ransac_pnp(key, xyz: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
     counts = jnp.sum(inl, axis=1)
     order = jnp.argsort(-counts)
     best = order[0]
-    return PnPResult(R=Rs[order], t=ts[order], n_inliers=counts[order],
-                     inliers_best=inl[best])
+
+    # refit the best hypothesis on its full inlier set (the reference
+    # refines the winning EPnP pose before the full-map projection,
+    # PnPsolver.cc:356-396); keep the refit only if it scores >= the raw one
+    w = inl[best].astype(jnp.float32)
+    Rr, tr = pnp_dlt_weighted(xyz, uv_n, w)
+    xcr = xyz @ Rr.T + tr
+    zr = jnp.where(jnp.abs(xcr[:, 2]) < 1e-9, 1e-9, xcr[:, 2])
+    ur = fx * xcr[:, 0] / zr + cx
+    vr = fy * xcr[:, 1] / zr + cy
+    err2r = (ur - uv[:, 0]) ** 2 + (vr - uv[:, 1]) ** 2
+    inl_r = (err2r < inlier_px ** 2) & (xcr[:, 2] > 0) & valid
+    cnt_r = jnp.sum(inl_r)
+    take = cnt_r >= counts[best]
+    R_out, t_out = Rs[order], ts[order]
+    R_out = R_out.at[0].set(jnp.where(take, Rr, R_out[0]))
+    t_out = t_out.at[0].set(jnp.where(take, tr, t_out[0]))
+    cnt_out = counts[order].at[0].max(jnp.where(take, cnt_r, 0))
+    return PnPResult(R=R_out, t=t_out, n_inliers=cnt_out,
+                     inliers_best=jnp.where(take, inl_r, inl[best]))
 
 
 ransac_pnp_jit = jax.jit(ransac_pnp, static_argnames=('n_hyp', 'sample_size'))

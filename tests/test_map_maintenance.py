@@ -48,7 +48,7 @@ def test_distinctive_descriptor_is_median_minimizer():
         lm_valid=state.lm_valid.at[0].set(True),
         lm_desc=state.lm_desc.at[0].set(jnp.asarray(birth)),
     )
-    eye = np.eye(3, np.float32)
+    eye = np.eye(3, dtype=np.float32)
     state = _add_kf(state, 0, eye, np.zeros(3, np.float32),
                     np.array([0]), a[None])
     state = _add_kf(state, 1, eye, np.array([0.1, 0, 0], np.float32),
@@ -76,7 +76,7 @@ def test_normal_and_depth_refresh():
         lm_valid=state.lm_valid.at[0].set(True),
         lm_normal=state.lm_normal.at[0].set(jnp.asarray([1.0, 0, 0])),
     )
-    eye = np.eye(3, np.float32)
+    eye = np.eye(3, dtype=np.float32)
     d0 = np.zeros((1, 32), np.uint8)
     # cameras at (+-1, 0, 0) both looking at the point
     state = _add_kf(state, 0, eye, np.array([-1.0, 0, 0], np.float32),
@@ -107,7 +107,7 @@ def test_refresh_skips_single_observation():
         lm_desc=state.lm_desc.at[0].set(jnp.asarray(birth)),
     )
     other = np.ones((1, 32), np.uint8)
-    state = _add_kf(state, 0, np.eye(3, np.float32),
+    state = _add_kf(state, 0, np.eye(3, dtype=np.float32),
                     np.zeros(3, np.float32), np.array([0]), other)
     cfg = MappingConfig(ba_points=32, n_neighbors=3)
     out = refresh_landmarks(cfg, state, jnp.int32(0))
