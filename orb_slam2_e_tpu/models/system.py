@@ -353,8 +353,46 @@ class SlamSystem:
         self._sstep = {Sensor.MONOCULAR: _sstep_mono,
                        Sensor.RGBD: _sstep_depth,
                        Sensor.STEREO: _sstep_stereo}
+        self._step_loc = None     # built lazily on first loc-mode frame
         self._bow_jit = None
         self.reset()
+
+    def _get_loc_step(self):
+        """Localization-only fused step (reference "Localization Mode",
+        Tracking.cc:395-485): tracking with temporary VO points, map never
+        mutated. Compiled on first use so SLAM-mode sessions never pay."""
+        if self._step_loc is not None:
+            return self._step_loc
+        from .frame import frame_from_features as _fff, sample_depth_at as _sd
+        tcfg = self.track_cfg
+
+        if self.sensor == Sensor.MONOCULAR:
+            @jax.jit
+            def _loc(map_state, image, last, vel, have_vel, ref_kf):
+                frame = _fff(self.cam, self.extractor._extract(image))
+                return T.track_frame_loc(self.cam, tcfg, map_state, frame,
+                                         last, vel, have_vel, ref_kf)
+        elif self.sensor == Sensor.RGBD:
+            @jax.jit
+            def _loc(map_state, image, depth_map, last, vel, have_vel,
+                     ref_kf):
+                feats = self.extractor._extract(image)
+                d = _sd(depth_map, feats.uv, self.cfg.depth_map_factor)
+                frame = _fff(self.cam, feats, d)
+                return T.track_frame_loc(self.cam, tcfg, map_state, frame,
+                                         last, vel, have_vel, ref_kf)
+        else:
+            @jax.jit
+            def _loc(map_state, img_l, img_r, last, vel, have_vel, ref_kf):
+                from ..ops import stereo as stereo_ops
+                feats = self.extractor._extract(img_l)
+                d = stereo_ops.stereo_depth_for_features(
+                    self.cam, img_l, img_r, feats, self.cfg.scale_factor)
+                frame = _fff(self.cam, feats, d)
+                return T.track_frame_loc(self.cam, tcfg, map_state, frame,
+                                         last, vel, have_vel, ref_kf)
+        self._step_loc = _loc
+        return _loc
 
     # ------------------------------------------------------------------ state
     def reset(self):
@@ -376,6 +414,7 @@ class SlamSystem:
         self.n_keyframes = 0
         self.trajectory = []      # (timestamp, pose7 np, state)
         self.localization_only = not self.cfg.mapping
+        self.vo_mode = False          # reference Tracking::mbVO
         self.stats = {"kf_inserted": 0, "points_created": 0,
                       "points_culled": 0, "kf_culled": 0, "relocs": 0,
                       "loops_closed": 0,
@@ -472,7 +511,11 @@ class SlamSystem:
         # the pipelined path hides the per-frame device->host round trip;
         # the synchronous path keeps exact per-frame state-machine timing
         # (required by the bTestAllFrames KPI protocol)
-        if self.cfg.pipeline and not self.cfg.reloc_test_all_frames:
+        # localization-only mode takes the synchronous path: the VO/reloc
+        # arbitration (reference Tracking.cc:425-465) needs current-frame
+        # truth on the host
+        if self.cfg.pipeline and not self.cfg.reloc_test_all_frames \
+                and not self.localization_only:
             return self._track_pipelined(inputs, timestamp)
         return self._track_sync(inputs, timestamp)
 
@@ -481,12 +524,22 @@ class SlamSystem:
         host makes all state-machine decisions with current-frame truth."""
         have_vel = self.velocity7 is not None
         vel = self.velocity7 if have_vel else lie.pose7_identity()
-        step = {Sensor.MONOCULAR: self._step_mono,
-                Sensor.RGBD: self._step_depth,
-                Sensor.STEREO: self._step_stereo}[self.sensor]
-        self.map, frame, vel_new, flags_d = step(
-            self.map, *inputs, self.last_frame,
-            vel, jnp.bool_(have_vel), jnp.int32(max(self.last_kf_slot, 0)))
+        loc = self.localization_only
+        if loc:
+            # localization-only step with temporary VO points; never
+            # mutates the map (reference "Localization Mode",
+            # Tracking.cc:395-485)
+            frame, vel_new, flags_d = self._get_loc_step()(
+                self.map, *inputs, self.last_frame, vel,
+                jnp.bool_(have_vel), jnp.int32(max(self.last_kf_slot, 0)))
+        else:
+            step = {Sensor.MONOCULAR: self._step_mono,
+                    Sensor.RGBD: self._step_depth,
+                    Sensor.STEREO: self._step_stereo}[self.sensor]
+            self.map, frame, vel_new, flags_d = step(
+                self.map, *inputs, self.last_frame,
+                vel, jnp.bool_(have_vel),
+                jnp.int32(max(self.last_kf_slot, 0)))
         flags = jax.device_get(flags_d)   # the frame's single blocking sync
         ok = bool(flags[0])
         n_in = int(flags[1])
@@ -494,12 +547,24 @@ class SlamSystem:
         if int(flags[3]):                 # local-map search hit its capacity
             self.stats["capacity_clips"] += 1
             self.stats["clip_bits"] |= 1 << 4
+        vo = loc and bool(flags[4])
+        self.vo_mode = vo                 # reference mbVO
         relocalized = False
         if self.state == TrackState.LOST:
             # once lost, only relocalization rescues (reference
             # Tracking.cc:392: bOK = Relocalization())
             frame, ok = self._relocalize(frame)
             relocalized = ok
+        elif vo:
+            # VO mode: motion-model and relocalization solutions computed
+            # side by side; relocalization wins when it succeeds
+            # (reference Tracking.cc:425-465)
+            frame_r, rok = self._relocalize(frame)
+            if rok:
+                frame = frame_r
+                relocalized = True
+                ok = True
+                self.vo_mode = False
         if not ok:
             was_ok = self.state == TrackState.OK
             self.state = TrackState.LOST

@@ -328,6 +328,136 @@ def track_frame_fused(cam: Camera, cfg: TrackConfig, state: MapState,
 
 
 # ---------------------------------------------------------------------------
+# Localization-only mode with visual-odometry points (reference mbVO)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def track_motion_model_vo(cam: Camera, cfg: TrackConfig, state: MapState,
+                          frame: Frame, last_frame: Frame, pose7_pred):
+    """Motion-model tracking augmented with temporary "visual odometry"
+    points: features of the last frame that carry depth but no landmark are
+    unprojected and matched frame-to-frame, so tracking survives when the
+    camera leaves the mapped region (reference UpdateLastFrame spawns
+    temporal MapPoints from last-frame depth in localization mode,
+    src/Tracking.cc:1160-1222; TrackWithMotionModel then counts map-vs-VO
+    matches and sets mbVO = nmatchesMap < 10, src/Tracking.cc:1224-1280).
+
+    Returns (frame, n_map_inliers, n_total_inliers)."""
+    R, t = lie.pose7_unpack(pose7_pred)
+    # --- real landmark matches (same search as track_motion_model) ---
+    lm_ids = jnp.where(last_frame.valid, last_frame.point_ids, INVALID)
+    safe = jnp.where(lm_ids >= 0, lm_ids, 0)
+    lm_mask = (lm_ids >= 0) & state.lm_valid[safe]
+    best_feat, dists, _ = search_landmarks_projected(
+        cam, cfg, R, t,
+        state.lm_xyz[safe], state.lm_desc[safe], lm_mask,
+        jnp.full(safe.shape, 1e9), jnp.zeros(safe.shape),
+        state.lm_normal[safe], frame, radius_scale=cfg.radius_motion,
+        max_hamming=matching.TH_HIGH, ratio=0.9,
+        pred_octave=last_frame.octave, check_view_cos=False)
+    frame = frame._replace(pose7=pose7_pred)
+    frame = bind_matches(frame, lm_ids, best_feat, dists)
+
+    # --- temporary VO points from last-frame depth (never enter the map,
+    # like the reference's mlpTemporalPoints) ---
+    Rl, tl = lie.pose7_unpack(last_frame.pose7)
+    Rwl, twl = lie.se3_inverse(Rl, tl)
+    vo_src = last_frame.valid & (last_frame.depth > 0) \
+        & (last_frame.point_ids < 0)
+    xyz_cam = cam_ops.backproject(cam, last_frame.uvr[:, :2],
+                                  last_frame.depth)
+    vo_xyz = lie.se3_apply(Rwl, twl, xyz_cam)
+    xc = lie.se3_apply(R, t, vo_xyz)
+    uv, z = cam_ops.project(cam, xc)
+    proj_ok = vo_src & cam_ops.in_image(cam, uv) & (z > 0)
+    sigma = cfg.scale_factor ** last_frame.octave.astype(jnp.float32)
+    bits_l = matching.unpack_desc(last_frame.desc)
+    bits_f = matching.unpack_desc(frame.desc)
+    dmat = matching.hamming_matrix(bits_l, bits_f)
+    mask = matching.window_mask(uv, frame.uvr[:, :2],
+                                cfg.radius_motion * sigma)
+    mask &= matching.octave_range_mask(last_frame.octave, frame.octave)
+    mask &= proj_ok[:, None] & frame.valid[None, :]
+    mask &= frame.point_ids[None, :] < 0   # landmark matches take precedence
+    vo_feat, d1, d2 = matching.masked_best2(dmat, mask)
+    vo_good = (d1 <= matching.TH_HIGH) \
+        & (d1.astype(jnp.float32) < 0.9 * d2.astype(jnp.float32))
+    vo_feat = matching.resolve_duplicates(
+        jnp.where(vo_good, vo_feat, INVALID), d1, frame.F)
+    vo_ok = vo_feat >= 0
+    fsafe = jnp.where(vo_ok, vo_feat, 0)
+
+    # --- joint pose optimization over map + VO observations ---
+    pid = frame.point_ids
+    okp = (pid >= 0) & frame.valid
+    psafe = jnp.where(okp, pid, 0)
+    okp &= state.lm_valid[psafe]
+    obs = pose_opt.PoseObs(
+        uvr=jnp.concatenate([frame.uvr, frame.uvr[fsafe]]),
+        xyz=jnp.concatenate([state.lm_xyz[psafe], vo_xyz]),
+        inv_sigma2=jnp.concatenate([
+            scale_invsigma2(frame.octave, cfg.scale_factor),
+            scale_invsigma2(frame.octave[fsafe], cfg.scale_factor)]),
+        valid=jnp.concatenate([okp, vo_ok]))
+    R1, t1, inlier, n_tot = pose_opt.pose_optimize(cam, R, t, obs)
+    F = frame.F
+    n_map = jnp.sum(inlier[:F] & okp).astype(jnp.int32)
+    new_pid = jnp.where(okp & ~inlier[:F], INVALID, pid)
+    frame = frame._replace(pose7=lie.pose7_pack(R1, t1), point_ids=new_pid)
+    return frame, n_map, n_tot
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def track_frame_loc(cam: Camera, cfg: TrackConfig, state: MapState,
+                    frame: Frame, last_frame: Frame, velocity7,
+                    have_velocity, ref_kf):
+    """Localization-only per-frame step (reference "Localization Mode"
+    branch, src/Tracking.cc:395-485): motion-model tracking with temporary
+    VO points; the local map is only tracked when enough REAL map points
+    are in view (mbVO false) — "mbVO true means that there are few matches
+    to MapPoints in the map. We cannot retrieve a local map"
+    (src/Tracking.cc:478-485). The map state is never mutated.
+
+    Returns (frame, velocity7', flags) with flags =
+    [ok, n_inliers, ref_matches, clipped, vo, n_total_mm] int32."""
+    Rv, tv = lie.pose7_unpack(velocity7)
+    Rl, tl = lie.pose7_unpack(last_frame.pose7)
+    pred7 = lie.pose7_pack(*lie.se3_compose(Rv, tv, Rl, tl))
+    pred7 = jnp.where(have_velocity, pred7, last_frame.pose7)
+
+    f_mm, n_map_mm, n_tot_mm = track_motion_model_vo(
+        cam, cfg, state, frame, last_frame, pred7)
+    mm_ok = have_velocity & (n_tot_mm > 20)   # reference: nmatches>20 gate
+
+    f_rf, n_m_rf, n_in_rf = track_reference_keyframe(
+        cam, cfg, state, frame, ref_kf, last_frame.pose7)
+    use_mm = mm_ok
+    f1 = jax.tree.map(lambda a, b: jnp.where(use_mm, a, b), f_mm, f_rf)
+    n_map1 = jnp.where(use_mm, n_map_mm, n_in_rf)
+    stage1_ok = mm_ok | (n_in_rf >= cfg.min_inliers_motion)
+    vo = stage1_ok & (n_map1 < 10)            # reference Tracking.cc:1280
+
+    f2, n_in, _, _, clipped = track_local_map(cam, cfg, state, f1)
+    ok = jnp.where(vo, stage1_ok,
+                   stage1_ok & (n_in >= cfg.min_inliers_map))
+    f_sel = jax.tree.map(lambda a, b: jnp.where(vo, a, b), f1, f2)
+    frame_out = jax.tree.map(lambda a, b: jnp.where(stage1_ok, a, b),
+                             f_sel, frame)
+    ref_matches = jnp.sum((state.kf_kp_point[ref_kf] >= 0)
+                          & state.kf_kp_valid[ref_kf])
+    R_c, t_c = lie.pose7_unpack(frame_out.pose7)
+    R_li, t_li = lie.se3_inverse(Rl, tl)
+    vel_new = lie.pose7_pack(*lie.se3_compose(R_c, t_c, R_li, t_li))
+    flags = jnp.stack([ok.astype(jnp.int32),
+                       jnp.where(vo, n_tot_mm, n_in).astype(jnp.int32),
+                       ref_matches.astype(jnp.int32),
+                       clipped,
+                       vo.astype(jnp.int32),
+                       n_tot_mm.astype(jnp.int32)])
+    return frame_out, vel_new, flags
+
+
+# ---------------------------------------------------------------------------
 # Keyframe insertion
 # ---------------------------------------------------------------------------
 
