@@ -33,10 +33,21 @@ class MappingConfig(NamedTuple):
     n_neighbors: int = 10        # covisible KFs used for triangulation
                                  # (reference uses 20 mono / 10 stereo,
                                  #  LocalMapping.cc:254-257)
-    ba_cams: int = 32            # local BA camera window capacity
-    ba_fixed: int = 32           # fixed-ring capacity
-    ba_points: int = 8192        # local BA point capacity
-    ba_obs: int = 24576          # local BA observation capacity
+    ba_cams: int = 16            # local BA camera window capacity (the
+                                 # reference frees ALL covisible KFs,
+                                 # typically 5-20 in flight; overflow is
+                                 # clipped AND logged via clip bits)
+    ba_fixed: int = 16           # fixed-ring capacity
+    ba_points: int = 4096        # local BA point capacity
+    ba_obs: int = 12288          # local BA observation capacity
+    ba_iters1: int = 4           # LM its before outlier reclassification
+    ba_iters2: int = 6           # LM its after (reference runs 5 then 10
+                                 # but aborts mid-BA whenever a new KF
+                                 # arrives — mbAbortBA, reference
+                                 # src/Optimizer.cc:90-91 + LocalMapping
+                                 # .cc:695-698; a shorter fixed schedule is
+                                 # the static-shape equivalent of an
+                                 # abortable 5+10)
     cull_min_found_ratio: float = 0.25   # reference LocalMapping.cc:190
     cull_obs_th: int = 2                 # cnThObs mono (ref :178)
 
@@ -62,10 +73,13 @@ def triangulate_with_neighbors(cam: Camera, cfg: MappingConfig,
     keyframe's unmatched features and its top covisible neighbors
     (reference LocalMapping::CreateNewMapPoints, src/LocalMapping.cc:243-520).
 
-    Per neighbor (static unrolled loop over cfg.n_neighbors):
-      baseline gate -> epipolar band mask + Hamming match of unbound features
-      -> linear triangulation -> positive depth / parallax / reprojection /
-      scale-consistency gates -> allocate landmark slots, bind in both KFs.
+    TPU shape: all cfg.n_neighbors candidate searches run in PARALLEL
+    (vmapped batched Hamming/epipolar work, one (NB, F, F) batch for the
+    MXU), then each feature picks its best neighbor (min descriptor
+    distance) and landmark slots are allocated ONCE. A sequential
+    neighbor loop would serialize ~10 matrix passes AND let a feature
+    triangulate twice (the second binding would orphan the first
+    landmark).
     """
     K_mat = cam.K
     R1, t1 = lie.pose7_unpack(state.kf_pose7[kf])
@@ -81,9 +95,7 @@ def triangulate_with_neighbors(cam: Camera, cfg: MappingConfig,
     bits1 = matching.unpack_desc(state.kf_desc[kf])
     inv_sig1 = scale_invsigma2(f_oct, cfg.scale_factor)
 
-    def per_neighbor(carry, nb_i):
-        state, = carry
-        nb, w = nb_i
+    def per_neighbor(nb, w):
         ok_nb = (w > 10) & state.kf_valid[nb]
         R2, t2 = lie.pose7_unpack(state.kf_pose7[nb])
         O2 = -R2.T @ t2
@@ -149,9 +161,7 @@ def triangulate_with_neighbors(cam: Camera, cfg: MappingConfig,
         sc_ok = (ratio_d < ratio_o * cfg.scale_factor * 1.5) \
             & (ratio_d > ratio_o / (cfg.scale_factor * 1.5))
         want = (pair_ok & finite & zok & par_ok & rp_ok & sc_ok & ok_nb
-                & f_ok)  # f_ok re-check: feature still unbound
-        slots, alloc_ok = state.allocate_points(want)
-        okn = want & alloc_ok
+                & f_ok)
         dist1 = jnp.linalg.norm(xc1, axis=1)
         maxd = dist1 * cfg.scale_factor ** f_oct.astype(jnp.float32)
         mind = maxd / cfg.scale_factor ** (cfg.n_levels - 1)
@@ -159,25 +169,43 @@ def triangulate_with_neighbors(cam: Camera, cfg: MappingConfig,
                   + r2v / jnp.maximum(d2n[:, None], 1e-9))
         normal = normal / jnp.maximum(
             jnp.linalg.norm(normal, axis=1, keepdims=True), 1e-9)
-        ms = scatter.masked_set
-        state = state._replace(
-            lm_xyz=ms(state.lm_xyz, slots, okn, X),
-            lm_valid=state.lm_valid.at[jnp.where(okn, slots, 0)].max(okn),
-            lm_desc=ms(state.lm_desc, slots, okn, state.kf_desc[kf]),
-            lm_normal=ms(state.lm_normal, slots, okn, normal),
-            lm_min_dist=ms(state.lm_min_dist, slots, okn, mind),
-            lm_max_dist=ms(state.lm_max_dist, slots, okn, maxd),
-            lm_ref_kf=ms(state.lm_ref_kf, slots, okn, kf),
-            lm_first_kf=ms(state.lm_first_kf, slots, okn, kf),
-            kf_kp_point=state.kf_kp_point
-                .at[kf].set(jnp.where(okn, slots, state.kf_kp_point[kf]))
-                .at[nb, safe].max(jnp.where(okn, slots, INVALID)),
-        )
-        return (state,), jnp.sum(okn)
+        return want, d1, safe, X, mind, maxd, normal
 
-    (state,), created = jax.lax.scan(
-        per_neighbor, (state,), (nb_ids, nb_w))
-    return state, jnp.sum(created)
+    # (NB, F, ...) candidates from all neighbors at once
+    want_n, d1_n, g_n, X_n, mind_n, maxd_n, nrm_n = jax.vmap(per_neighbor)(
+        nb_ids, nb_w)
+    # per feature: best neighbor by descriptor distance
+    NB = want_n.shape[0]
+    dsel = jnp.where(want_n, d1_n.astype(jnp.int32), jnp.int32(1 << 20))
+    best_nb = jnp.argmin(dsel, axis=0)                      # (F,)
+    far = jnp.arange(F)
+    chosen = want_n[best_nb, far]
+    X = X_n[best_nb, far]
+    mind = mind_n[best_nb, far]
+    maxd = maxd_n[best_nb, far]
+    normal = nrm_n[best_nb, far]
+    nb_sel = nb_ids[best_nb]
+    g_sel = g_n[best_nb, far]
+
+    slots, alloc_ok = state.allocate_points(chosen)
+    okn = chosen & alloc_ok
+    ms = scatter.masked_set
+    state = state._replace(
+        lm_xyz=ms(state.lm_xyz, slots, okn, X),
+        lm_valid=state.lm_valid.at[jnp.where(okn, slots, 0)].max(okn),
+        lm_desc=ms(state.lm_desc, slots, okn, state.kf_desc[kf]),
+        lm_normal=ms(state.lm_normal, slots, okn, normal),
+        lm_min_dist=ms(state.lm_min_dist, slots, okn, mind),
+        lm_max_dist=ms(state.lm_max_dist, slots, okn, maxd),
+        lm_ref_kf=ms(state.lm_ref_kf, slots, okn, kf),
+        lm_first_kf=ms(state.lm_first_kf, slots, okn, kf),
+        kf_kp_point=state.kf_kp_point
+            .at[kf].set(jnp.where(okn, slots, state.kf_kp_point[kf]))
+            .at[jnp.where(okn, nb_sel, state.K),
+                jnp.where(okn, g_sel, 0)].max(
+                jnp.where(okn, slots, INVALID), mode='drop'),
+    )
+    return state, jnp.sum(okn)
 
 
 # ---------------------------------------------------------------------------
@@ -294,8 +322,14 @@ N_REFRESH_OBS = 8      # observations gathered per landmark (the reference
                        # uses all; 8 covers the covisibility window that
                        # matters for matching)
 
-_POPCNT_TABLE = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
-                              axis=1).sum(1).astype(np.uint8)
+def _popcount_u8(x):
+    """Bit-twiddle popcount of a uint8 array — pure VPU arithmetic. A
+    256-entry table lookup is a gather, and gathering (R, N, N, 32) XOR
+    bytes through a table dominated the whole mapping pass on TPU."""
+    x = x.astype(jnp.int32)
+    x = x - ((x >> 1) & 0x55)
+    x = (x & 0x33) + ((x >> 2) & 0x33)
+    return (x + (x >> 4)) & 0x0F
 
 
 @functools.partial(jax.jit, static_argnames=('cfg',))
@@ -352,7 +386,7 @@ def refresh_landmarks(cfg: MappingConfig, state: MapState, kf):
     # --- distinctive descriptor: min median pairwise Hamming ---
     d = state.kf_desc[kf_safe, obs_f]                         # (R, NOBS, 32)
     x = d[:, :, None, :] ^ d[:, None, :, :]                   # (R, N, N, 32)
-    pop = jnp.asarray(_POPCNT_TABLE)[x].astype(jnp.int32).sum(-1)
+    pop = _popcount_u8(x).sum(-1)
     pairmask = m[:, :, None] & m[:, None, :]
     BIG = jnp.int32(1 << 20)
     pop = jnp.where(pairmask, pop, BIG)
@@ -474,7 +508,8 @@ def local_ba(cam: Camera, cfg: MappingConfig, state: MapState, kf):
         obs_inv_sigma2=scale_invsigma2(octv, cfg.scale_factor),
         obs_valid=o_live,
     )
-    res = ba.ba_solve(cam, prob)
+    res = ba.ba_solve(cam, prob, iters_phase1=cfg.ba_iters1,
+                      iters_phase2=cfg.ba_iters2)
     # write back poses + points (drop-mode scatters: padding rows alias
     # index 0 and must not revert real updates)
     new_pose = scatter.masked_set(state.kf_pose7, cam_ids,

@@ -7,10 +7,10 @@
 //    per relocalization attempt, feeding the device FEM assembly.
 //  - knn_radius: grid-hash k-nearest-neighbour queries (PCL KdTree stand-in
 //    for normal estimation / mesh auto-parameters, FEA2.cc:441-527).
-//  - distribute_quadtree: spatially uniform keypoint selection, the exact
-//    recursive subdivision the reference uses (ORBextractor::DistributeOctTree,
-//    reference src/ORBextractor.cc:539-763) — an optional exact-parity host
-//    path beside the device cell-grid selection.
+//
+// (Keypoint distribution — reference ORBextractor::DistributeOctTree,
+// src/ORBextractor.cc:539-763 — is done ON DEVICE by cell-grid NMS +
+// per-level top-k in ops/orb.py; no host path needed.)
 //
 // Exposed with a plain C ABI for ctypes.
 

@@ -134,7 +134,13 @@ def _schur_solve_dense(Hcc, bc, Hpp, bp, Hcp, cam_free, lam):
     T = jnp.einsum('pcij,pjk->pcik', Hcp, Hpp_inv)       # (P, C, 6, 3)
     A = T.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)    # rows: (c,i)
     B = Hcp.transpose(0, 3, 1, 2).reshape(P * 3, C * 6)  # cols: (d,j)
-    S_flat = jax.lax.dot_general(A, B, (((1,), (0,)), ((), ())),
+    # bf16 operands + f32 accumulation: the Schur reduction is the largest
+    # matmul + the largest tensors in the whole BA step; half the HBM
+    # traffic, 2x MXU rate. The LM accept/reject (computed from exact f32
+    # residuals) absorbs the rounding.
+    S_flat = jax.lax.dot_general(A.astype(jnp.bfloat16),
+                                 B.astype(jnp.bfloat16),
+                                 (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     S_off = S_flat.reshape(C, 6, C, 6).transpose(0, 2, 1, 3)
     rhs_red = bc - (A @ bp.reshape(-1)).reshape(C, 6)    # (C, 6)
@@ -148,12 +154,43 @@ def _schur_solve_dense(Hcc, bc, Hpp, bp, Hcp, cam_free, lam):
         (1.0 - free)[:, None, None] * jnp.eye(6))
     rhs_red = rhs_red * free[:, None]
     Sf = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
-    dxc = jnp.linalg.solve(Sf, -rhs_red.reshape(-1)).reshape(C, 6)
+    dxc = _spd_solve_cg(Sf, -rhs_red.reshape(-1)).reshape(C, 6)
     dxc = dxc * free[:, None]
     # back-substitute points: dxp = -Hpp^-1 (bp + Hcp^T dxc)
     t2 = jnp.einsum('pcij,ci->pj', Hcp, dxc)             # (P, 3)
     dxp = -jnp.einsum('pij,pj->pi', Hpp_inv, bp + t2)
     return dxc, dxp
+
+
+def _spd_solve_cg(S, b, iters: int = 48):
+    """Jacobi-preconditioned CG for the (damped, SPD) reduced camera system.
+
+    TPU rationale: LU/Cholesky on a 100-400-wide matrix is a sequential
+    panel factorization — multiple ms of latency-bound work — while CG is
+    `iters` dense matvecs that the MXU eats. The LM loop re-solves every
+    iteration with a fresh lambda damping, so a 1e-6-accurate CG solution is
+    indistinguishable from a direct solve in the accept/reject test.
+    (Replaces the g2o LinearSolverEigen/LinearSolverDense role, reference
+    Thirdparty/g2o/g2o/solvers/linear_solver_eigen.h.)"""
+    d = jnp.maximum(jnp.diagonal(S), 1e-12)
+
+    def body(i, st):
+        x, r, p, rz = st
+        Ap = S @ p
+        denom = jnp.dot(p, Ap)
+        alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = r / d
+        rz2 = jnp.dot(r, z)
+        beta = jnp.where(jnp.abs(rz) > 1e-20, rz2 / rz, 0.0)
+        p = z + beta * p
+        return (x, r, p, rz2)
+
+    x0 = jnp.zeros_like(b)
+    z0 = b / d
+    st = (x0, b, z0, jnp.dot(b, z0))
+    return jax.lax.fori_loop(0, iters, body, st)[0]
 
 
 def _inv3x3(M):

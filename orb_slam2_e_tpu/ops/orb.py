@@ -237,6 +237,62 @@ def compute_orientations(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(m01, m10)
 
 
+# per-row half-chord widths of the radius-15 disc (index dy+15)
+_CHORD_XMAX = np.array([int(np.floor(np.sqrt(HALF_PATCH ** 2 - dy ** 2)))
+                        for dy in range(-HALF_PATCH, HALF_PATCH + 1)],
+                       dtype=np.int32)
+
+
+def orientation_moment_maps(img: jnp.ndarray):
+    """Dense (H, W) maps of the IC-angle moments m10, m01.
+
+    TPU formulation of reference IC_Angle (src/ORBextractor.cc:77-106):
+    instead of gathering the 709-pixel disc per keypoint (gathers are the
+    slowest primitive on TPU), build row cumsums of I and x*I once, then
+    accumulate the 31 disc chords as statically-shifted slice differences —
+    pure VPU streaming. Per keypoint the angle then costs TWO gathers.
+
+      m01(x,y) = sum_dy dy * S_dy(x,y)
+      m10(x,y) = sum_dy [X_dy(x,y) - x * S_dy(x,y)]
+    with S_dy / X_dy the chord sums of I / x*I on row y+dy.
+    """
+    H, W = img.shape
+    r = HALF_PATCH
+    pad = r + 1
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    # leading-zero row cumsums, padded so every chord shift is a static slice
+    CxI = jnp.pad(jnp.cumsum(img, axis=1), ((0, 0), (1, 0)))
+    CxX = jnp.pad(jnp.cumsum(img * xs, axis=1), ((0, 0), (1, 0)))
+    CxI = jnp.pad(CxI, ((pad, pad), (pad, pad)), mode='edge')
+    CxX = jnp.pad(CxX, ((pad, pad), (pad, pad)), mode='edge')
+
+    def chord(Cp, dy, xm):
+        # sum over t in [x-xm, x+xm] of row y+dy = C[y+dy, x+xm+1]-C[y+dy, x-xm]
+        hi = jax.lax.dynamic_slice(Cp, (pad + dy, pad + xm + 1), (H, W))
+        lo = jax.lax.dynamic_slice(Cp, (pad + dy, pad - xm), (H, W))
+        return hi - lo
+
+    m01 = jnp.zeros((H, W), jnp.float32)
+    m10 = jnp.zeros((H, W), jnp.float32)
+    for dy in range(-r, r + 1):
+        xm = int(_CHORD_XMAX[dy + r])
+        S = chord(CxI, dy, xm)
+        m10 = m10 + chord(CxX, dy, xm) - xs * S
+        if dy != 0:
+            m01 = m01 + float(dy) * S
+    return m10, m01
+
+
+def orientations_from_maps(m10, m01, uv):
+    """Angle per keypoint from the dense moment maps (2 gathers each)."""
+    H, W = m10.shape
+    pix = uv.astype(jnp.int32)
+    x = jnp.clip(pix[:, 0], 0, W - 1)
+    y = jnp.clip(pix[:, 1], 0, H - 1)
+    flat = y * W + x
+    return jnp.arctan2(m01.reshape(-1)[flat], m10.reshape(-1)[flat])
+
+
 _BIT_WEIGHTS = np.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=np.uint8)
 
 
@@ -316,7 +372,8 @@ class OrbExtractor:
             uv, score, valid = detect_level(
                 img, self.quotas[lvl], self.ini_th, self.min_th, self.cell,
                 score=smap)
-            ang = compute_orientations(img, uv)
+            m10, m01 = orientation_moment_maps(img)
+            ang = orientations_from_maps(m10, m01, uv)
             desc = compute_descriptors(blurred, uv, ang)
             scale = jnp.float32(self.scales[lvl])
             feats.append(OrbFeatures(

@@ -1,1 +1,2 @@
-"""Multi-chip scale-out: sharded bundle adjustment and matching."""
+"""Multi-chip scale-out: sharded bundle adjustment, batched lane tracking,
+and keyframe-sharded place-recognition queries."""

@@ -53,6 +53,20 @@ def test_orientation_gradient():
     assert abs(float(ang2[0]) - np.pi / 2) < 0.1
 
 
+def test_orientation_moment_maps_match_gather_path():
+    """The dense cumsum-chord moment maps must agree with the direct
+    709-gather IC-angle for interior keypoints (same disc, same moments)."""
+    rng = np.random.RandomState(7)
+    img = jnp.asarray(rng.rand(96, 128).astype(np.float32) * 255)
+    uv = jnp.asarray(rng.uniform(20, 75, (40, 2)).astype(np.float32))
+    ref = np.asarray(orb.compute_orientations(img, uv))
+    m10, m01 = orb.orientation_moment_maps(img)
+    fast = np.asarray(orb.orientations_from_maps(m10, m01, uv))
+    d = np.abs(fast - ref)
+    d = np.minimum(d, 2 * np.pi - d)
+    assert d.max() < 1e-3, d.max()
+
+
 def test_descriptor_rotation_invariance():
     """Descriptor of a rotated patch with steered angle should be close to
     the original (steered BRIEF property)."""
