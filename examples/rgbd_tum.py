@@ -28,8 +28,9 @@ def main():
     track_times = []
     for t, rp, dp in zip(ts, rgbs, depths):
         im = read_gray(rp)
-        depth = read_depth(dp, 1.0 / s.depth_map_factor
-                           if s.depth_map_factor < 1 else 5000.0)
+        # RAW depth values — the system applies DepthMapFactor itself
+        # (reference Tracking::GrabImageRGBD convertTo semantics)
+        depth = read_depth(dp, 1.0)
         t0 = time.perf_counter()
         sysm.track_rgbd(im, depth, t)
         track_times.append(time.perf_counter() - t0)

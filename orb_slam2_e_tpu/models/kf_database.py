@@ -13,6 +13,7 @@ covisibility-exclusion mask applied directly).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -48,7 +49,7 @@ def query_scores(db: BowDatabase, q: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(db.filled, bow.l1_score(db.vecs, q), -1.0)
 
 
-@jax.jit
+@partial(jax.jit, static_argnums=(2,))
 def detect_relocalization_candidates(db: BowDatabase, q: jnp.ndarray,
                                      n_candidates: int = 5):
     """Reference KeyFrameDatabase::DetectRelocalizationCandidates

@@ -198,7 +198,7 @@ def triangulate_with_neighbors(cam: Camera, cfg: MappingConfig,
         lm_min_dist=ms(state.lm_min_dist, slots, okn, mind),
         lm_max_dist=ms(state.lm_max_dist, slots, okn, maxd),
         lm_ref_kf=ms(state.lm_ref_kf, slots, okn, kf),
-        lm_first_kf=ms(state.lm_first_kf, slots, okn, kf),
+        lm_first_seq=ms(state.lm_first_seq, slots, okn, state.kf_seq[kf]),
         kf_kp_point=state.kf_kp_point
             .at[kf].set(jnp.where(okn, slots, state.kf_kp_point[kf]))
             .at[jnp.where(okn, nb_sel, state.K),
@@ -217,10 +217,11 @@ def cull_map_points(cfg: MappingConfig, state: MapState, current_kf):
     """Remove low-quality recent landmarks (reference
     LocalMapping::MapPointCulling, src/LocalMapping.cc:170-241):
     found/visible < 0.25, or age >= 2 KFs with <= cnThObs observations.
-    Age is measured in keyframe slots here (monotonic within a session)."""
+    Age is measured in monotonic keyframe SEQUENCE ids (kf_seq), so slot
+    recycling after keyframe culling cannot corrupt the window."""
     obs = state.observation_counts()
     ratio = state.lm_found / jnp.maximum(state.lm_visible, 1.0)
-    age = current_kf - state.lm_first_kf
+    age = state.kf_seq[current_kf] - state.lm_first_seq
     bad = state.lm_valid & (
         (ratio < cfg.cull_min_found_ratio)
         | ((age >= 2) & (obs <= cfg.cull_obs_th)))
@@ -539,7 +540,8 @@ def mapping_pass(cam: Camera, cfg: MappingConfig, state: MapState, kf,
     (reference LocalMapping::Run body, SURVEY.md §3.2): point culling ->
     triangulation -> fusion -> local BA -> keyframe culling.
 
-    Returns (state, (n_culled, n_new, victim, clip_bits)) — one host sync."""
+    Returns (state, (n_culled, n_new, victims (N_CULL_VICTIMS,),
+    clip_bits)) — one host sync."""
     state, n_culled = cull_map_points(cfg, state, kf)
     state, n_new = triangulate_with_neighbors(cam, cfg, state, kf)
     state, _, clip_fuse = fuse_neighbors(cam, cfg, state, kf)
@@ -550,10 +552,10 @@ def mapping_pass(cam: Camera, cfg: MappingConfig, state: MapState, kf,
     if do_ba:
         state, _, clip_ba = local_ba(cam, cfg, state, kf)
         clipped |= clip_ba
-    victim = jnp.int32(-1)
+    victims = jnp.full((N_CULL_VICTIMS,), INVALID)
     if do_cull_kf:
-        state, victim = cull_keyframes(cfg, state, kf)
-    return state, (n_culled, n_new, victim, clipped)
+        state, victims = cull_keyframes(cfg, state, kf)
+    return state, (n_culled, n_new, victims, clipped)
 
 
 def mapping_pass_dyn(cam: Camera, cfg: MappingConfig, state: MapState, kf,
@@ -571,48 +573,72 @@ def mapping_pass_dyn(cam: Camera, cfg: MappingConfig, state: MapState, kf,
         do_ba,
         lambda s: (lambda st, cost, cl: (st, cl))(*local_ba(cam, cfg, s, kf)),
         lambda s: (s, jnp.int32(0)), state)
-    state, victim = jax.lax.cond(
+    state, victims = jax.lax.cond(
         do_cull_kf,
         lambda s: cull_keyframes(cfg, s, kf),
-        lambda s: (s, INVALID), state)
+        lambda s: (s, jnp.full((N_CULL_VICTIMS,), INVALID)), state)
     clipped = (clip_fuse << 3) | clip_ba
-    return state, (n_culled, n_new, victim, clipped)
+    return state, (n_culled, n_new, victims, clipped)
+
+
+N_CULL_VICTIMS = 2     # keyframes cullable per mapping pass (the reference
+                       # loop can erase several local KFs per Run; two
+                       # sequential rounds with refreshed counts is the
+                       # static-shape equivalent — VERDICT r3 missing #7)
 
 
 @functools.partial(jax.jit, static_argnames=('cfg',))
 def cull_keyframes(cfg: MappingConfig, state: MapState, kf):
     """Cull covisible keyframes whose landmarks are >= 90% redundant —
-    seen by >= 3 other keyframes at the same or finer scale (reference
-    LocalMapping::KeyFrameCulling, src/LocalMapping.cc:700-763).
+    seen by >= 3 OTHER keyframes at the same or finer scale (reference
+    LocalMapping::KeyFrameCulling, src/LocalMapping.cc:700-763; the scale
+    condition is scaleLevel_i <= scaleLevel + 1).
 
-    Culls at most one keyframe per call (the most redundant), preserving
-    slot 0 (map origin) and the current keyframe."""
-    covis = state.covisibility_row(kf)
-    cand_mask = (covis > 0) & state.kf_valid
-    cand_mask = cand_mask.at[0].set(False).at[kf].set(False)
-    obs = state.observation_counts()
+    Runs N_CULL_VICTIMS sequential rounds, each recomputing observation
+    counts (as the reference's per-KF loop does after SetBadFlag), so two
+    mutually-redundant keyframes cannot both be culled on one another's
+    evidence. Preserves slot 0 (map origin) and the current keyframe.
+    Returns (state, victims (N_CULL_VICTIMS,) int32, INVALID-padded)."""
+    n_levels = cfg.n_levels
 
-    # per candidate: redundancy ratio of its observed points
-    pt = state.kf_kp_point                                   # (K, F)
-    okf = state.kf_kp_valid & (pt >= 0)
-    pt_safe = jnp.where(okf, pt, 0)
-    n_obs_pt = obs[pt_safe]                                   # (K, F)
-    redundant = okf & (n_obs_pt >= 4)    # itself + 3 others (scale check
-                                         # omitted: conservative superset)
-    n_pts = jnp.sum(okf, axis=1)
-    n_red = jnp.sum(redundant, axis=1)
-    ratio = n_red / jnp.maximum(n_pts, 1)
-    score = jnp.where(cand_mask & (n_pts > 0), ratio, 0.0)
-    victim = jnp.argmax(score)
-    do_cull = score[victim] > 0.9
-    new_state = state.remove_keyframe(victim)
-    # re-parent children of the victim to the victim's parent
-    vic_parent = state.kf_parent[victim]
-    new_parent = jnp.where(
-        (state.kf_parent == victim) & state.kf_valid, vic_parent,
-        new_state.kf_parent)
-    new_state = new_state._replace(kf_parent=new_parent)
-    state = jax.tree.map(
-        lambda a, b: jnp.where(do_cull, b, a) if a.dtype != bool
-        else jnp.where(do_cull, b, a), state, new_state)
-    return state, jnp.where(do_cull, victim, INVALID)
+    def one_round(state):
+        covis = state.covisibility_row(kf)
+        cand_mask = (covis > 0) & state.kf_valid
+        cand_mask = cand_mask.at[0].set(False).at[kf].set(False)
+
+        pt = state.kf_kp_point                               # (K, F)
+        okf = state.kf_kp_valid & (pt >= 0) & state.kf_valid[:, None]
+        pt_safe = jnp.where(okf, pt, 0)
+        oc = jnp.clip(state.kf_kp_octave, 0, n_levels - 1)
+        # per-point cumulative observation counts by octave:
+        # cum[p, o] = #observations of p at octave <= o (any keyframe)
+        cnt = jnp.zeros((state.P, n_levels), jnp.int32).at[
+            pt_safe, oc].add(okf.astype(jnp.int32))
+        cum = jnp.cumsum(cnt, axis=1)
+        # for an observation at octave o, others at same-or-finer scale
+        # (octave <= o + 1) — own observation always qualifies, subtract it
+        o1 = jnp.clip(oc + 1, 0, n_levels - 1)
+        n_fine_other = cum[pt_safe, o1] - 1                   # (K, F)
+        redundant = okf & (n_fine_other >= 3)
+        n_pts = jnp.sum(okf, axis=1)
+        n_red = jnp.sum(redundant, axis=1)
+        ratio = n_red / jnp.maximum(n_pts, 1)
+        score = jnp.where(cand_mask & (n_pts > 0), ratio, 0.0)
+        victim = jnp.argmax(score)
+        do_cull = score[victim] > 0.9
+        new_state = state.remove_keyframe(victim)
+        # re-parent children of the victim to the victim's parent
+        vic_parent = state.kf_parent[victim]
+        new_parent = jnp.where(
+            (state.kf_parent == victim) & state.kf_valid, vic_parent,
+            new_state.kf_parent)
+        new_state = new_state._replace(kf_parent=new_parent)
+        state = jax.tree.map(
+            lambda a, b: jnp.where(do_cull, b, a), state, new_state)
+        return state, jnp.where(do_cull, victim, INVALID)
+
+    victims = []
+    for _ in range(N_CULL_VICTIMS):
+        state, v = one_round(state)
+        victims.append(v)
+    return state, jnp.stack(victims).astype(jnp.int32)

@@ -43,6 +43,12 @@ class MapState(NamedTuple):
     kf_kp_point: jnp.ndarray  # (K, F) int32 landmark id or -1
     kf_parent: jnp.ndarray    # (K,) int32 spanning-tree parent (-1 root)
     kf_loop_edge: jnp.ndarray # (K, 4) int32 loop edges (-1 empty)
+    kf_seq: jnp.ndarray       # (K,) int32 monotone insertion sequence id
+                              #   (reference KeyFrame::mnId — slots are pure
+                              #   storage and get recycled after culling, so
+                              #   any "newer/older than" logic must compare
+                              #   kf_seq, never slot numbers; VERDICT r3 #7)
+    next_seq: jnp.ndarray     # () int32 next sequence id to assign
     # --- landmark pool ---
     lm_xyz: jnp.ndarray       # (P, 3)
     lm_valid: jnp.ndarray     # (P,) bool
@@ -51,7 +57,9 @@ class MapState(NamedTuple):
     lm_min_dist: jnp.ndarray  # (P,) scale-invariance bounds
     lm_max_dist: jnp.ndarray  # (P,)
     lm_ref_kf: jnp.ndarray    # (P,) int32 reference keyframe
-    lm_first_kf: jnp.ndarray  # (P,) int32 birth keyframe (culling age window)
+    lm_first_seq: jnp.ndarray # (P,) int32 birth keyframe SEQUENCE id (kf_seq
+                              #   of the creating KF) — drives the 2-3-KF
+                              #   culling age window; robust to slot reuse
     lm_visible: jnp.ndarray   # (P,) float32 — IncreaseVisible counter
     lm_found: jnp.ndarray     # (P,) float32 — IncreaseFound counter
     lm_rigid: jnp.ndarray     # (P,) int8: 0 unknown, 1 rigid, 2 non-rigid
@@ -87,6 +95,8 @@ class MapState(NamedTuple):
             kf_kp_point=jnp.full((K, F), INVALID),
             kf_parent=jnp.full((K,), INVALID),
             kf_loop_edge=jnp.full((K, 4), INVALID),
+            kf_seq=jnp.full((K,), INVALID),
+            next_seq=jnp.int32(0),
             lm_xyz=jnp.zeros((P, 3), dtype),
             lm_valid=jnp.zeros((P,), bool),
             lm_desc=jnp.zeros((P, 32), jnp.uint8),
@@ -94,7 +104,7 @@ class MapState(NamedTuple):
             lm_min_dist=jnp.zeros((P,), dtype),
             lm_max_dist=jnp.zeros((P,), dtype),
             lm_ref_kf=jnp.full((P,), INVALID),
-            lm_first_kf=jnp.full((P,), INVALID),
+            lm_first_seq=jnp.full((P,), INVALID),
             lm_visible=jnp.ones((P,), dtype),
             lm_found=jnp.ones((P,), dtype),
             lm_rigid=jnp.zeros((P,), jnp.int8),
@@ -168,6 +178,8 @@ class MapState(NamedTuple):
             kf_desc=self.kf_desc.at[slot].set(desc),
             kf_kp_point=self.kf_kp_point.at[slot].set(kp_point),
             kf_parent=self.kf_parent.at[slot].set(parent),
+            kf_seq=self.kf_seq.at[slot].set(self.next_seq),
+            next_seq=self.next_seq + 1,
         )
 
     def remove_keyframe(self, slot) -> "MapState":

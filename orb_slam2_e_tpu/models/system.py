@@ -104,7 +104,13 @@ class SystemConfig:
             n_features=s.orb.n_features, scale_factor=s.orb.scale_factor,
             n_levels=s.orb.n_levels, ini_th_fast=s.orb.ini_th_fast,
             min_th_fast=s.orb.min_th_fast, th_depth=s.th_depth,
-            depth_map_factor=s.depth_map_factor,
+            # reference Tracking.cc:172-175: mDepthMapFactor = 1/factor and
+            # the RAW depth image is multiplied by it (GrabImageRGBD). The
+            # config therefore stores the MULTIPLIER for raw depth values;
+            # track_rgbd expects raw (e.g. uint16/5000-style) depth maps.
+            depth_map_factor=(1.0 if abs(s.depth_map_factor) < 1e-5
+                              or abs(s.depth_map_factor - 1.0) < 1e-5
+                              else 1.0 / s.depth_map_factor),
             max_frames_between_kf=int(s.fps),
             el_type=s.reloc.el_type,
             reloc_test_all_frames=s.reloc.test_all_frames,
@@ -233,7 +239,7 @@ class SlamSystem:
                 self.cam, tcfg, map_state, frame, frame_id, timestamp,
                 parent_kf)
             ins_ok = slot >= 0
-            st2, (n_culled, n_new, victim, clipped) = LM.mapping_pass(
+            st2, (n_culled, n_new, victims, clipped) = LM.mapping_pass(
                 self.cam, mcfg, st1, jnp.maximum(slot, 0),
                 do_ba=do_ba, do_cull_kf=do_cull_kf)
             # no free keyframe slot: leave the map untouched
@@ -241,12 +247,12 @@ class SlamSystem:
                 lambda new, old: jnp.where(ins_ok, new, old), st2, map_state)
             frame = jax.tree.map(
                 lambda new, old: jnp.where(ins_ok, new, old), frame1, frame)
-            packed = jnp.stack([slot.astype(jnp.int32),
-                                n_culled.astype(jnp.int32),
-                                n_new.astype(jnp.int32),
-                                jnp.where(ins_ok, victim, INVALID)
-                                .astype(jnp.int32),
-                                clipped.astype(jnp.int32)])
+            packed = jnp.concatenate([
+                jnp.stack([slot.astype(jnp.int32),
+                           n_culled.astype(jnp.int32),
+                           n_new.astype(jnp.int32)]),
+                jnp.where(ins_ok, victims, INVALID).astype(jnp.int32),
+                clipped.astype(jnp.int32)[None]])
             return map_state, frame, packed
 
         self._insert_and_map = _insert_and_map
@@ -290,7 +296,7 @@ class SlamSystem:
                     self.cam, tcfg, m, fr, frame_id, timestamp,
                     jnp.maximum(loop.ref_kf, 0))
                 ins_ok = slot >= 0
-                st2, (ncul, nnew, victim, clipm) = LM.mapping_pass_dyn(
+                st2, (ncul, nnew, victims, clipm) = LM.mapping_pass_dyn(
                     self.cam, mcfg, st1, jnp.maximum(slot, 0),
                     do_ba=jnp.bool_(use_local_ba) & (nkf + 1 > 2),
                     do_cull_kf=(nkf + 1) > 4)
@@ -298,17 +304,18 @@ class SlamSystem:
                     lambda new, old: jnp.where(ins_ok, new, old), st2, m)
                 fr2 = jax.tree.map(
                     lambda new, old: jnp.where(ins_ok, new, old), fr1, fr)
-                packed = jnp.stack(
-                    [slot.astype(jnp.int32), ncul.astype(jnp.int32),
-                     nnew.astype(jnp.int32),
-                     jnp.where(ins_ok, victim, INVALID).astype(jnp.int32),
-                     clipm.astype(jnp.int32)])
+                packed = jnp.concatenate(
+                    [jnp.stack([slot.astype(jnp.int32),
+                                ncul.astype(jnp.int32),
+                                nnew.astype(jnp.int32)]),
+                     jnp.where(ins_ok, victims, INVALID).astype(jnp.int32),
+                     clipm.astype(jnp.int32)[None]])
                 return m2, fr2, packed
 
             def noins(op):
                 m, fr = op
                 packed = jnp.stack([INVALID, jnp.int32(0), jnp.int32(0),
-                                    INVALID, jnp.int32(0)])
+                                    INVALID, INVALID, jnp.int32(0)])
                 return m, fr, packed
 
             m2, f2, packed = jax.lax.cond(need_kf, ins, noins, (m1, f_out))
@@ -411,6 +418,7 @@ class SlamSystem:
         self.last_reloc_frame_id = -10**9
         self._loop_state = None
         self._pending = []
+        self._gba = None          # pending chunked global BA (aborted on reset)
         self.n_keyframes = 0
         self.trajectory = []      # (timestamp, pose7 np, state)
         self.localization_only = not self.cfg.mapping
@@ -540,6 +548,8 @@ class SlamSystem:
                 self.map, *inputs, self.last_frame,
                 vel, jnp.bool_(have_vel),
                 jnp.int32(max(self.last_kf_slot, 0)))
+        # one bounded GBA chunk rides the queue behind this frame's step
+        self._advance_gba()
         flags = jax.device_get(flags_d)   # the frame's single blocking sync
         ok = bool(flags[0])
         n_in = int(flags[1])
@@ -650,6 +660,10 @@ class SlamSystem:
         self._loop_state = loop_out
         self.map = loop_out.map
         self.last_frame = loop_out.last_frame
+        # one bounded GBA chunk rides the queue behind this frame's step
+        # (the chunked-GBA analogue of the reference's background GBA
+        # thread: < 1 frame-time of device work per frame)
+        self._advance_gba()
         # read the PREVIOUS frame's flags — overlaps this frame's compute
         self._drain_pending()
         if self._loop_state is None:
@@ -669,7 +683,7 @@ class SlamSystem:
     def _process_flags(self, fid: int, flags, tidx: int):
         """Host bookkeeping for a completed frame (arrives one frame late
         on the pipelined path). Layout: [ok, n_in, ref_matches, clip_track,
-        slot, n_culled, n_new, victim, clip_map, inserted]."""
+        slot, n_culled, n_new, victim0, victim1, clip_map, inserted]."""
         ok = bool(flags[0])
         if int(flags[3]):
             self.stats["capacity_clips"] += 1
@@ -686,9 +700,9 @@ class SlamSystem:
             return
         self.kpi.on_frame_tracked(fid)
         self.state = TrackState.OK
-        if bool(flags[9]) and int(flags[4]) >= 0:
-            slot, n_culled, n_new, victim, clip_m = (int(v) for v in
-                                                     flags[4:9])
+        if bool(flags[10]) and int(flags[4]) >= 0:
+            slot, n_culled, n_new, victim0, victim1, clip_m = (
+                int(v) for v in flags[4:10])
             self.last_kf_slot = slot
             self.last_kf_frame_id = fid
             self.n_keyframes += 1
@@ -698,11 +712,12 @@ class SlamSystem:
             if clip_m:
                 self.stats["capacity_clips"] += 1
                 self.stats["clip_bits"] |= clip_m
-            if victim >= 0:
-                if self.bow_db is not None:
-                    self.bow_db = self.bow_db.erase(jnp.int32(victim))
-                self.n_keyframes -= 1
-                self.stats["kf_culled"] += 1
+            for victim in (victim0, victim1):
+                if victim >= 0:
+                    if self.bow_db is not None:
+                        self.bow_db = self.bow_db.erase(jnp.int32(victim))
+                    self.n_keyframes -= 1
+                    self.stats["kf_culled"] += 1
             self._ensure_vocab()
             self._db_add(slot)
             if self.cfg.loop_closing:
@@ -968,24 +983,87 @@ class SlamSystem:
             self.cfg.scale_factor, fix_scale)
         if int(n_in) < LC.MIN_SIM3_INLIERS:
             return
-        self.map, _ = LC.correct_and_optimize_graph(
+        # verification ladder BEFORE any irreversible correction (reference
+        # LoopClosing.cc:306-400): SearchBySim3 widening + re-refine (>= 20)
+        # then full loop-group projection (>= 40 total)
+        R12, t12, s12, n_in2, n_total, clip_v = LC.verify_sim3(
+            self.cam, self.map, jnp.int32(kf_slot), jnp.int32(loop_kf),
+            R12, t12, s12, self.cfg.scale_factor, self.cfg.n_levels,
+            fix_scale)
+        if int(clip_v):
+            self.stats["capacity_clips"] += 1
+            self.stats["clip_bits"] |= 1 << 7
+        if int(n_in2) < LC.MIN_SIM3_INLIERS or int(n_total) < 40:
+            self.stats["loops_rejected"] = self.stats.get(
+                "loops_rejected", 0) + 1
+            return
+        self.map, _, clip_e = LC.correct_and_optimize_graph(
             self.map, jnp.int32(kf_slot), jnp.int32(loop_kf), R12, t12, s12)
         # fuse loop-side landmarks into the corrected neighborhood
         # (reference LoopClosing.cc:587-613)
-        self.map, n_fused = LC.search_and_fuse(
+        self.map, n_fused, clip_f = LC.search_and_fuse(
             self.cam, self.map, jnp.int32(kf_slot), jnp.int32(loop_kf),
             self.cfg.scale_factor, self.cfg.n_levels)
-        self.map, gba_clipped = LC.global_ba(self.cam, self.map,
-                                             self.cfg.scale_factor)
-        if gba_clipped:
+        if int(clip_e) or int(clip_f):
             self.stats["capacity_clips"] += 1
-            self.stats["clip_bits"] |= 1 << 5
+            self.stats["clip_bits"] |= (int(clip_e) << 6) | (int(clip_f) << 7)
+        # global BA in bounded chunks interleaved between frames — the
+        # functional analogue of the abortable GBA thread (reference
+        # LoopClosing.cc:645-749). A newer closure supersedes a pending one
+        # (reference mnFullBAIdx).
+        self._start_chunked_gba()
         self.loop_detector.reset()
         self.last_loop_kf = kf_slot
         self._last_loop_kf_count = self.stats["kf_inserted"]
         self.stats["loops_closed"] += 1
         self.stats["loop_points_fused"] = self.stats.get(
             "loop_points_fused", 0) + int(n_fused)
+
+    # ------------------------------------------------- chunked global BA
+    GBA_CHUNKS = 5            # 5 chunks x 2 LM its = the reference's 10
+    GBA_ITERS_PER_CHUNK = 2
+
+    def _start_chunked_gba(self):
+        from . import loop_closing as LC
+        from ..ops import ba as ba_ops
+        prob, clipped = LC.gba_problem(self.cam, self.map,
+                                       self.cfg.scale_factor)
+        if int(clipped):
+            self.stats["capacity_clips"] += 1
+            self.stats["clip_bits"] |= 1 << 5
+        self._gba = {
+            "prob": prob,
+            "carry": ba_ops.ba_pcg_carry_init(prob),
+            "done": 0,
+            # snapshot identity arrays for the merge (fresh buffers: the
+            # live map's buffers get donated by the pipelined super-step)
+            "kf_seq": jnp.copy(self.map.kf_seq),
+            "lm_first_seq": jnp.copy(self.map.lm_first_seq),
+            "lm_valid": jnp.copy(self.map.lm_valid),
+        }
+
+    def _advance_gba(self):
+        """Dispatch ONE bounded GBA chunk (async — overlaps tracking); on
+        the final chunk, merge the optimized snapshot into the live map
+        with staged write-back for keyframes/landmarks created meanwhile."""
+        if self._gba is None:
+            return
+        from . import loop_closing as LC
+        from ..ops import ba as ba_ops
+        g = self._gba
+        g["carry"] = ba_ops.ba_pcg_chunk(
+            self.cam, g["prob"], g["carry"],
+            n_outer=self.GBA_ITERS_PER_CHUNK, cg_iters=50)
+        g["done"] += 1
+        if g["done"] < self.GBA_CHUNKS:
+            return
+        pose7, pts, _ = g["carry"]
+        self.map = LC.gba_merge(self.map, pose7, pts, g["kf_seq"],
+                                g["lm_first_seq"], g["lm_valid"])
+        if self._loop_state is not None:
+            self._loop_state = self._loop_state._replace(map=self.map)
+        self._gba = None
+        self.stats["gba_completed"] = self.stats.get("gba_completed", 0) + 1
 
     def _predict_pose(self):
         Rv, tv = lie.pose7_unpack(self.velocity7)
@@ -1077,7 +1155,7 @@ class SlamSystem:
             jnp.float32(timestamp), jnp.int32(self.last_kf_slot),
             do_ba=self.cfg.local_ba and n_after > 2,
             do_cull_kf=n_after > 4)
-        slot, n_culled, n_new, victim, clipped = (
+        slot, n_culled, n_new, victim0, victim1, clipped = (
             int(v) for v in jax.device_get(packed_d))
         if clipped:
             self.stats["capacity_clips"] += 1
@@ -1088,11 +1166,12 @@ class SlamSystem:
         self.last_kf_frame_id = self.frame_id
         self.n_keyframes += 1
         self.stats["kf_inserted"] += 1
-        if victim >= 0:
-            if self.bow_db is not None:
-                self.bow_db = self.bow_db.erase(jnp.int32(victim))
-            self.n_keyframes -= 1
-            self.stats["kf_culled"] += 1
+        for victim in (victim0, victim1):
+            if victim >= 0:
+                if self.bow_db is not None:
+                    self.bow_db = self.bow_db.erase(jnp.int32(victim))
+                self.n_keyframes -= 1
+                self.stats["kf_culled"] += 1
         self.stats["points_created"] += int(n_new)
         self.stats["points_culled"] += int(n_culled)
         # place recognition upkeep + loop closing
@@ -1200,6 +1279,10 @@ class SlamSystem:
             self._ensure_vocab()          # no vocab in checkpoint: retrain
 
     def shutdown(self):
-        """Reference System::Shutdown (no threads to join here)."""
+        """Reference System::Shutdown (no threads to join here). A pending
+        chunked GBA is run to completion first (the reference joins its GBA
+        thread, System.cc:319-334)."""
         self._drain_pending()
+        while self._gba is not None:
+            self._advance_gba()
         jax.block_until_ready(self.map.lm_xyz)

@@ -504,7 +504,7 @@ def insert_keyframe(cam: Camera, cfg: TrackConfig, state: MapState,
         lm_min_dist=ms(state.lm_min_dist, slots, ok, mind),
         lm_max_dist=ms(state.lm_max_dist, slots, ok, maxd),
         lm_ref_kf=ms(state.lm_ref_kf, slots, ok, slot),
-        lm_first_kf=ms(state.lm_first_kf, slots, ok, slot),
+        lm_first_seq=ms(state.lm_first_seq, slots, ok, state.next_seq),
     )
     point_ids = jnp.where(ok, slots, frame.point_ids)
     state = state.add_keyframe(
@@ -594,7 +594,7 @@ def mono_init_reconstruct(key, cam: Camera, cfg: TrackConfig,
         lm_min_dist=ms(state.lm_min_dist, slots, ok, mind),
         lm_max_dist=ms(state.lm_max_dist, slots, ok, maxd),
         lm_ref_kf=ms(state.lm_ref_kf, slots, ok, 0),
-        lm_first_kf=ms(state.lm_first_kf, slots, ok, 0),
+        lm_first_seq=ms(state.lm_first_seq, slots, ok, 0),
     )
     pid_ref = jnp.where(ok, slots, INVALID)
     pid_cur_scatter = jnp.full((f_cur.F,), INVALID).at[safe].max(

@@ -26,6 +26,7 @@ delta = sqrt(5.991)/sqrt(7.815) (reference Optimizer.cc:961-976).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -118,7 +119,11 @@ def _build_normal_blocks(prob: BAProblem, r, Jc, Jp, w, C: int, P: int):
     vals_c = jnp.concatenate([
         jnp.einsum('oij,oik->ojk', wJc, Jc).reshape(O, 36),
         jnp.einsum('oij,oi->oj', wJc, r)], -1)                 # (O, 42)
-    agg_c = onehot_c @ vals_c                                  # MXU f32
+    # HIGHEST: this replaces an exact f32 scatter-add; default TPU matmul
+    # precision would round vals_c to bf16 and cost Hcc/bc mantissa bits.
+    # The matmul is tiny (C x O x 42), so full precision is free.
+    agg_c = jnp.matmul(onehot_c, vals_c,
+                       precision=jax.lax.Precision.HIGHEST)
     Hcc = agg_c[:, :36].reshape(C, 6, 6)
     bc = agg_c[:, 36:]
     vals_p = jnp.concatenate([
@@ -181,6 +186,9 @@ def _schur_solve_dense(prob: BAProblem, Hcc, bc, Hpp, bp, Jc, Jp, w,
                                  preferred_element_type=jnp.float32)
     S_off = S_flat.reshape(C, 6, C, 6).transpose(0, 2, 1, 3)
     Ltb = jnp.einsum('pji,pj->pi', L, bp)                # (P, 3) L^T bp
+    # NOTE: the flat (point, cam) key two steps up and the segment key in
+    # ba_solve are int32 — P * C must stay below 2^31 (local-BA capacities
+    # are orders of magnitude under this; guarded in ba_solve).
     rhs_red = bc - (A @ Ltb.reshape(-1)).reshape(C, 6)   # (C, 6)
     S = -S_off
     S = S.at[jnp.arange(C), jnp.arange(C)].add(
@@ -194,10 +202,12 @@ def _schur_solve_dense(prob: BAProblem, Hcc, bc, Hpp, bp, Jc, Jp, w,
     Sf = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
     dxc = _spd_solve_cg(Sf, -rhs_red.reshape(-1)).reshape(C, 6)
     dxc = dxc * free[:, None]
-    # back-substitute: dxp = -(Hpp^-1 bp + L (A^T dxc))
+    # back-substitute: dxp = -(Hpp^-1 bp + L (A^T dxc)) = -L (L^T bp + Z^T dxc).
+    # Using the factored form for BOTH terms keeps the step consistent with
+    # the solved system even when _chol3x3's pivot clamps engage on
+    # near-singular point blocks (where L L^T != Hpp_inv exactly).
     v = (dxc.reshape(-1) @ A).reshape(P, 3)              # (P, 3) = Z^T dxc
-    dxp = -(jnp.einsum('pij,pj->pi', Hpp_inv, bp)
-            + jnp.einsum('pij,pj->pi', L, v))
+    dxp = -jnp.einsum('pij,pj->pi', L, Ltb + v)
     return dxc, dxp
 
 
@@ -282,6 +292,8 @@ def ba_solve(cam: Camera, prob: BAProblem, iters_phase1: int = 5,
     """
     C = prob.cam_pose7.shape[0]
     P = prob.points.shape[0]
+    # int32 flat (point, cam) keys are used for the sort and segment sums
+    assert P * C < 2 ** 31, "BA capacity overflow: P*C must fit in int32"
 
     # Sort observations by (point, cam) ONCE: every per-point aggregation in
     # the LM loop then runs as a sorted segment reduction instead of a
@@ -314,6 +326,10 @@ def ba_solve(cam: Camera, prob: BAProblem, iters_phase1: int = 5,
         w, chi2, cost_t, live = _weights(p, r, behind, robust, extra_mask)
         cost_t = cost_t + extra(pts_t)
         accept = cost_t < cost_b
+        # The first iteration of each phase evaluates the seed against
+        # cost_b = +inf — a guaranteed accept that must NOT touch lambda
+        # (else phase 1 starts at lam/2 instead of the documented seed).
+        seed_eval = ~jnp.isfinite(cost_b)
         pose_b = jnp.where(accept, pose_t, pose_b)
         pts_b = jnp.where(accept, pts_t, pts_b)
         cost_b = jnp.where(accept, cost_t, cost_b)
@@ -321,7 +337,9 @@ def ba_solve(cam: Camera, prob: BAProblem, iters_phase1: int = 5,
         Jc_b = jnp.where(accept, Jc, Jc_b)
         Jp_b = jnp.where(accept, Jp, Jp_b)
         w_b = jnp.where(accept, w, w_b)
-        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+        lam = jnp.where(seed_eval, lam,
+                        jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0),
+                                 1e-9, 1e6))
         pb = prob._replace(cam_pose7=pose_b, points=pts_b)
         Hcc, bc, Hpp, bp = _build_normal_blocks(pb, r_b, Jc_b, Jp_b, w_b,
                                                 C, P)
@@ -421,19 +439,14 @@ def _schur_matvec(x, prob: BAProblem, Jc, Jp, w, Hcc_l, Hpp_inv, psum=None):
     return Hx - wc
 
 
-def ba_solve_pcg(cam: Camera, prob: BAProblem, n_outer: int = 10,
-                 cg_iters: int = 30, robust: bool = True,
-                 psum=None) -> BAResult:
-    """LM with matrix-free Schur + block-Jacobi PCG camera solve.
-
-    With `psum` supplied, observation arrays may be sharded over devices:
-    every segment-sum above reduces locally, then psum combines shards —
-    the distributed BA design of SURVEY.md §2.4/§5.
-    """
+def _pcg_lm_step(cam: Camera, prob: BAProblem, carry, cg_iters: int,
+                 robust: bool, psum):
+    """One LM iteration of the matrix-free Schur PCG solver; carry =
+    (cam_pose7, points, lambda). Shared by ba_solve_pcg and ba_pcg_chunk
+    (the chunked/abortable global-BA path)."""
     C = prob.cam_pose7.shape[0]
     P = prob.points.shape[0]
-
-    def lm_step(carry, _):
+    if True:  # (indentation shim — body unchanged from the inline lm_step)
         pose7, pts, lam = carry
         R, t = lie.pose7_unpack(pose7)
         p = prob._replace(cam_pose7=pose7, points=pts)
@@ -521,9 +534,45 @@ def ba_solve_pcg(cam: Camera, prob: BAProblem, n_outer: int = 10,
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
         return (pose7, pts, lam), cost_n
 
+
+def ba_pcg_carry_init(prob: BAProblem):
+    """Initial (pose, points, lambda) carry for chunked PCG bundle
+    adjustment."""
+    return (prob.cam_pose7, prob.points,
+            jnp.asarray(1e-4, prob.points.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=('n_outer', 'cg_iters',
+                                             'robust'))
+def ba_pcg_chunk(cam: Camera, prob: BAProblem, carry, n_outer: int = 2,
+                 cg_iters: int = 30, robust: bool = True):
+    """Run `n_outer` LM iterations of the matrix-free PCG solver from
+    `carry`, returning the new carry. This is the bounded-work unit of the
+    ABORTABLE global BA: the host interleaves one chunk per tracked frame
+    instead of a single multi-second dispatch (the functional analogue of
+    the reference's GBA thread + mbStopGBA abort flag,
+    LoopClosing.cc:645-749, Optimizer.cc:90). Dropping the carry aborts."""
+    def f(c, _):
+        return _pcg_lm_step(cam, prob, c, cg_iters, robust, None)
+
+    carry, _ = jax.lax.scan(f, carry, None, length=n_outer)
+    return carry
+
+
+def ba_solve_pcg(cam: Camera, prob: BAProblem, n_outer: int = 10,
+                 cg_iters: int = 30, robust: bool = True,
+                 psum=None) -> BAResult:
+    """LM with matrix-free Schur + block-Jacobi PCG camera solve.
+
+    With `psum` supplied, observation arrays may be sharded over devices:
+    every segment-sum reduces locally, then psum combines shards —
+    the distributed BA design of SURVEY.md §2.4/§5.
+    """
+    def lm_step(carry, _):
+        return _pcg_lm_step(cam, prob, carry, cg_iters, robust, psum)
+
     (pose7, pts, _), _ = jax.lax.scan(
-        lm_step, (prob.cam_pose7, prob.points,
-                  jnp.asarray(1e-4, prob.points.dtype)), None, length=n_outer)
+        lm_step, ba_pcg_carry_init(prob), None, length=n_outer)
 
     R, t = lie.pose7_unpack(pose7)
     p = prob._replace(cam_pose7=pose7, points=pts)

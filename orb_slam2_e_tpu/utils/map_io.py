@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..models.map_state import MapState
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2   # v2: + kf_seq / next_seq / lm_first_seq (VERDICT r3 #7)
 
 
 def save_map(path, state: MapState, extra: dict | None = None):

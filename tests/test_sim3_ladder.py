@@ -1,0 +1,126 @@
+"""ComputeSim3 verification ladder: SearchBySim3 widening + full
+loop-group projection with the >= 40-match acceptance gate (reference
+LoopClosing.cc:306-400, ORBmatcher.cc:1303-1526). VERDICT r3 missing #3 /
+next #6: a near-miss candidate — similar descriptors, wrong geometry —
+must be REJECTED before any map correction."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from orb_slam2_e_tpu.ops import lie
+from orb_slam2_e_tpu.ops.camera import Camera
+from orb_slam2_e_tpu.models.map_state import MapState
+from orb_slam2_e_tpu.models import loop_closing as LC
+
+FX = FY = 400.0
+CX, CY = 240.0, 180.0
+W, H = 480, 360
+
+
+def _cam():
+    return Camera.create(fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H)
+
+
+def _project(R, t, X):
+    xc = (R @ X.T).T + t
+    uv = np.stack([FX * xc[:, 0] / xc[:, 2] + CX,
+                   FY * xc[:, 1] / xc[:, 2] + CY], 1)
+    return uv, xc[:, 2]
+
+
+def _build_state(n_consistent: int, n_off: int, seed=0):
+    """kf 0 = loop candidate, kf 1 = current. `n_consistent` landmarks are
+    genuinely co-located; `n_off` pairs share descriptors but live at
+    different world positions for each keyframe (similar texture, wrong
+    place)."""
+    rng = np.random.RandomState(seed)
+    N = n_consistent + n_off
+    F = 96
+    state = MapState.create(max_keyframes=4, max_features=F, max_points=256)
+
+    X_shared = rng.uniform([-1.5, -1.0, 4.0], [1.5, 1.0, 7.0],
+                           (n_consistent, 3)).astype(np.float32)
+    # off-pairs: candidate sees them far left, current sees its own far right
+    X_cand_off = rng.uniform([-6.5, -1.0, 4.0], [-4.5, 1.0, 7.0],
+                             (n_off, 3)).astype(np.float32)
+    X_cur_off = rng.uniform([4.5, -1.0, 4.0], [6.5, 1.0, 7.0],
+                            (n_off, 3)).astype(np.float32)
+    desc = rng.randint(0, 256, (N, 32)).astype(np.uint8)
+
+    R_cand = np.eye(3, dtype=np.float32)
+    t_cand = np.array([-5.0 if n_off else 0.0, 0, 0],
+                      np.float32) * 0.0  # candidate at origin
+    R_cur = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.05, 0.0])),
+                       dtype=np.float32).T
+    c_cur = np.array([0.4, 0.1, -0.2], np.float32)
+    t_cur = -R_cur @ c_cur
+
+    def add_kf(slot, R, t, X_all, pids):
+        uv, z = _project(R, t, X_all)
+        n = len(X_all)
+        kp_uvr = np.full((F, 3), -1.0, np.float32)
+        kp_uvr[:n, :2] = uv
+        ok = np.zeros(F, bool)
+        ok[:n] = (z > 0.1) & (uv[:, 0] >= 0) & (uv[:, 0] < W) \
+            & (uv[:, 1] >= 0) & (uv[:, 1] < H)
+        kp_point = np.full(F, -1, np.int32)
+        kp_point[:n] = pids
+        d = np.zeros((F, 32), np.uint8)
+        d[:n] = desc
+        nonlocal state
+        state = state.add_keyframe(
+            slot, lie.pose7_pack(jnp.asarray(R), jnp.asarray(t)), slot, 0.0,
+            jnp.asarray(kp_uvr), jnp.zeros(F, jnp.int32), jnp.zeros(F),
+            jnp.asarray(ok), jnp.asarray(d), jnp.asarray(kp_point))
+
+    # landmark pools: candidate's landmarks 0..N-1, current's off-landmarks
+    # N..N+n_off-1 (consistent ones shared)
+    X_cand_all = np.vstack([X_shared, X_cand_off])
+    X_cur_all = np.vstack([X_shared, X_cur_off])
+    lm_xyz = np.zeros((256, 3), np.float32)
+    lm_valid = np.zeros(256, bool)
+    lm_desc = np.zeros((256, 32), np.uint8)
+    lm_xyz[:N] = X_cand_all
+    lm_desc[:N] = desc
+    lm_valid[:N] = True
+    cand_pids = np.arange(N, dtype=np.int32)
+    cur_pids = np.concatenate([np.arange(n_consistent, dtype=np.int32),
+                               np.arange(N, N + n_off, dtype=np.int32)])
+    lm_xyz[N:N + n_off] = X_cur_off
+    lm_desc[N:N + n_off] = desc[n_consistent:]
+    lm_valid[N:N + n_off] = True
+    state = state._replace(
+        lm_xyz=jnp.asarray(lm_xyz), lm_valid=jnp.asarray(lm_valid),
+        lm_desc=jnp.asarray(lm_desc),
+        lm_min_dist=jnp.full((256,), 0.1),
+        lm_max_dist=jnp.full((256,), 50.0),
+    )
+    add_kf(0, R_cand, t_cand, X_cand_all, cand_pids)
+    add_kf(1, R_cur, t_cur, X_cur_all, cur_pids)
+
+    # true S12 (cand cam -> cur cam), slightly perturbed as RANSAC output
+    R12 = R_cur @ R_cand.T
+    t12 = t_cur - R12 @ t_cand
+    dR = np.asarray(lie.so3_exp(jnp.asarray([0.002, -0.003, 0.001])),
+                    dtype=np.float32)
+    return state, jnp.asarray(R12 @ dR), jnp.asarray(t12 + 0.005), \
+        jnp.asarray(1.0)
+
+
+def test_genuine_loop_passes_ladder():
+    state, R12, t12, s12 = _build_state(n_consistent=60, n_off=0)
+    R, t, s, n_in, n_total, clip = LC.verify_sim3(
+        _cam(), state, jnp.int32(1), jnp.int32(0), R12, t12, s12)
+    assert int(n_in) >= LC.MIN_SIM3_INLIERS, int(n_in)
+    assert int(n_total) >= 40, int(n_total)
+    assert abs(float(s) - 1.0) < 0.05
+
+
+def test_near_miss_rejected_by_projection_gate():
+    """25 genuinely shared points pass the Sim3 stage (>= 20 inliers) but
+    the full loop-group projection finds < 40 total matches -> reject."""
+    state, R12, t12, s12 = _build_state(n_consistent=25, n_off=35)
+    R, t, s, n_in, n_total, clip = LC.verify_sim3(
+        _cam(), state, jnp.int32(1), jnp.int32(0), R12, t12, s12)
+    assert int(n_in) >= LC.MIN_SIM3_INLIERS, int(n_in)   # stage 1 passes
+    assert int(n_total) < 40, int(n_total)               # stage 2 rejects
