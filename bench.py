@@ -109,7 +109,9 @@ def main():
     scene = SyntheticScene(n_points=600, seed=1, width=W, height=H,
                            fx=500, fy=500, cx=W / 2, cy=H / 2)
     poses, centers = orbit_trajectory(n_frames=60, radius=1.2, forward=0.03)
-    images = [scene.render(R, t) for R, t in poses]
+    # uint8 frames, as a real camera / dataset reader delivers them — and a
+    # quarter of the per-frame host->device transfer of float32
+    images = [scene.render(R, t).astype(np.uint8) for R, t in poses]
 
     sys, cam = build_system(W, H)
     with trace:

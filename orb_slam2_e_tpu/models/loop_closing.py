@@ -351,7 +351,12 @@ def correct_and_optimize_graph(state: MapState, kf_cur, kf_loop,
     meas = meas_old.at[-1].set(meas_loop[0])
 
     fixed = jnp.zeros((K,), bool).at[kf_loop].set(True)
-    out8, costs = pose_graph.optimize_pose_graph(
+    # dense Hessian up to DENSE_POSE_GRAPH_MAX_K keyframes; matrix-free CG
+    # beyond (K is a static shape, so this is a compile-time dispatch)
+    pg = (pose_graph.optimize_pose_graph
+          if K <= pose_graph.DENSE_POSE_GRAPH_MAX_K
+          else pose_graph.optimize_pose_graph_cg)
+    out8, costs = pg(
         sim8, state.kf_valid, fixed, edges_i, edges_j, meas, edge_ok,
         n_iters=n_iters)
 

@@ -671,6 +671,14 @@ class SlamSystem:
             self._record(timestamp, None)
             return None
         self.trajectory.append((timestamp, pose_d))
+        # start the device->host flag transfer NOW (async): by the time the
+        # next frame's drain reads it, the bytes are already on the host —
+        # without this, every drain pays the full tunnel round trip (~23 ms)
+        # even though the value was computed a frame ago
+        try:
+            flags_d.copy_to_host_async()
+        except AttributeError:
+            pass
         self._pending.append((self.frame_id, flags_d,
                               len(self.trajectory) - 1))
         return self._last_pose()

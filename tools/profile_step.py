@@ -111,6 +111,24 @@ def main():
         return packed
     print(f"insert_and_map(BA):  {med_ms(insert, n=5):7.2f} ms")
 
+    # mapping-pass sub-stages (each jitted standalone on the same state)
+    from orb_slam2_e_tpu.models import local_mapping as LMM
+    mcfg = sysm.map_cfg
+    kf = jnp.int32(max(sysm.last_kf_slot, 1))
+    sub = [
+        ("cull_map_points", lambda: LMM.cull_map_points(mcfg, st, kf)[0].lm_valid),
+        ("triangulate", lambda: LMM.triangulate_with_neighbors(
+            cam, mcfg, st, kf)[0].lm_xyz),
+        ("fuse_neighbors", lambda: LMM.fuse_neighbors(
+            cam, mcfg, st, kf)[0].lm_valid),
+        ("refresh_landmarks", lambda: LMM.refresh_landmarks(
+            mcfg, st, kf).lm_desc),
+        ("local_ba", lambda: LMM.local_ba(cam, mcfg, st, kf)[0].kf_pose7),
+        ("cull_keyframes", lambda: LMM.cull_keyframes(mcfg, st, kf)[0].kf_valid),
+    ]
+    for name, fn in sub:
+        print(f"  {name:18s} {med_ms(fn, n=5):7.2f} ms")
+
 
 if __name__ == "__main__":
     main()
