@@ -71,8 +71,11 @@ def stage_times(sys, img):
         jax.block_until_ready(r)
         return round((time.perf_counter() - t0) / n * 1e3, 2)
 
+    # salt in the IMAGE dtype — a float salt would promote uint8 frames to
+    # f32 and force a second (multi-minute) compile of the whole step
+    salt = (jnp.uint8 if img.dtype == jnp.uint8 else jnp.float32)
     out = {"extract_ms": med(
-        lambda i: sys.extractor(img + jnp.float32(i)).desc)}
+        lambda i: sys.extractor(img + salt(i)).desc)}
     if sys._loop_state is not None:
         import jax.tree_util as jtu
         loop = sys._loop_state
@@ -80,7 +83,7 @@ def stage_times(sys, img):
         def run_step(i):
             lo, flags, pose = sys._sstep[sys.sensor](
                 jtu.tree_map(lambda x: jnp.asarray(x).copy(), loop),
-                img + jnp.float32(i), jnp.int32(10 ** 6), jnp.float32(0.0),
+                img + salt(i), jnp.int32(10 ** 6), jnp.float32(0.0),
                 jnp.bool_(False))
             return flags
 

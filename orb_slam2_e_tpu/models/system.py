@@ -419,6 +419,7 @@ class SlamSystem:
         self._loop_state = None
         self._pending = []
         self._gba = None          # pending chunked global BA (aborted on reset)
+        self._reset_gen = getattr(self, "_reset_gen", 0) + 1
         self.n_keyframes = 0
         self.trajectory = []      # (timestamp, pose7 np, state)
         self.localization_only = not self.cfg.mapping
@@ -664,29 +665,41 @@ class SlamSystem:
         # (the chunked-GBA analogue of the reference's background GBA
         # thread: < 1 frame-time of device work per frame)
         self._advance_gba()
-        # read the PREVIOUS frame's flags — overlaps this frame's compute
-        self._drain_pending()
+        # read PREVIOUS frames' flags every other frame (one stacked
+        # transfer for two frames halves the per-frame tunnel RTT cost);
+        # state decisions lag <= 2 frames — the device step self-gates, so
+        # the lag is safe, same as the 1-frame lag before
+        if len(self._pending) >= 2:
+            self._drain_pending()
         if self._loop_state is None:
             # a drain-triggered reset invalidated this frame's dispatch
             self._record(timestamp, None)
             return None
         self.trajectory.append((timestamp, pose_d))
-        # start the device->host flag transfer NOW (async): by the time the
-        # next frame's drain reads it, the bytes are already on the host —
-        # without this, every drain pays the full tunnel round trip (~23 ms)
-        # even though the value was computed a frame ago
-        try:
-            flags_d.copy_to_host_async()
-        except AttributeError:
-            pass
         self._pending.append((self.frame_id, flags_d,
                               len(self.trajectory) - 1))
         return self._last_pose()
 
     def _drain_pending(self):
+        """Fetch + process all pending frame flags. Multiple pending flag
+        vectors are stacked ON DEVICE and fetched with ONE transfer — on a
+        tunneled TPU every device_get pays the full ~23 ms round trip, so
+        the pipelined loop drains every OTHER frame and amortizes the RTT
+        over two frames (an async host copy would be cleaner, but
+        copy_to_host_async poisons this remote backend's compile thread)."""
         while self._pending:
-            fid, flags_d, tidx = self._pending.pop(0)
-            self._process_flags(fid, jax.device_get(flags_d), tidx)
+            gen = self._reset_gen
+            items = self._pending[:]
+            self._pending.clear()
+            if len(items) == 1:
+                flags_list = [jax.device_get(items[0][1])]
+            else:
+                flags_list = list(jax.device_get(
+                    jnp.stack([f for _, f, _ in items])))
+            for (fid, _, tidx), fl in zip(items, flags_list):
+                self._process_flags(fid, fl, tidx)
+                if self._reset_gen != gen:
+                    return   # reset mid-drain: remaining flags are stale
 
     def _process_flags(self, fid: int, flags, tidx: int):
         """Host bookkeeping for a completed frame (arrives one frame late

@@ -211,7 +211,7 @@ def _schur_solve_dense(prob: BAProblem, Hcc, bc, Hpp, bp, Jc, Jp, w,
     return dxc, dxp
 
 
-def _spd_solve_cg(S, b, iters: int = 48):
+def _spd_solve_cg(S, b, iters: int = 32):
     """Jacobi-preconditioned CG for the (damped, SPD) reduced camera system.
 
     TPU rationale: LU/Cholesky on a 100-400-wide matrix is a sequential
