@@ -78,3 +78,49 @@ def test_pretrained_asset_quality():
     assert np.isclose(float(jnp.sum(jnp.abs(v))), 1.0, atol=1e-3)
     s = bow.l1_score(v[None, :], v)
     assert np.isclose(float(s[0]), 1.0, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_pretrained_recall_real_texture():
+    """Measured candidate recall (VERDICT r3 #8): keyframe views of a
+    real-texture proxy room go into a BoW database; held-out intermediate
+    views must retrieve the true (nearest-pose) keyframe in the top-5
+    for >= 90% of queries."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "make_proxy_dataset",
+        Path(__file__).resolve().parents[1] / "tools" / "make_proxy_dataset.py")
+    mpd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mpd)
+    from orb_slam2_e_tpu.ops.orb import OrbExtractor
+    from orb_slam2_e_tpu.models.kf_database import (
+        BowDatabase, detect_relocalization_candidates)
+
+    d = dict(np.load(ASSET))
+    voc = bow.vocabulary_from_arrays(d)
+    planes = mpd.build_room(seed=42)          # unseen by training (seeds 100+)
+    poses, centers = mpd.trajectory("desk", 220)
+    ext = OrbExtractor(n_features=600, n_levels=4)
+
+    def bow_vec(img):
+        f = ext(jnp.asarray(img, jnp.float32))
+        words, _ = bow.transform(voc, f.desc, f.valid)
+        return bow.bow_vector(voc, words, f.valid)
+
+    kf_idx = list(range(0, 220, 10))          # 22 database keyframes
+    q_idx = list(range(5, 220, 10))           # held-out midpoints
+    db = BowDatabase.create(32, voc.n_words)
+    for slot, i in enumerate(kf_idx):
+        R, t = poses[i]
+        img, _ = mpd.render(planes, R, t)
+        db = db.add(jnp.int32(slot), bow_vec(img))
+    hits = 0
+    for i in q_idx:
+        R, t = poses[i]
+        img, _ = mpd.render(planes, R, t)
+        top_k, top_s = detect_relocalization_candidates(db, bow_vec(img), 5)
+        true_slot = int(np.argmin(
+            [np.linalg.norm(centers[i] - centers[j]) for j in kf_idx]))
+        hits += true_slot in [int(x) for x in np.asarray(top_k)]
+    recall = hits / len(q_idx)
+    assert recall >= 0.9, f"top-5 recall {recall:.2f}"

@@ -151,14 +151,21 @@ def main():
     n_docs = docs.max() + 1
     sample = rng.choice(n_docs, min(200, n_docs), replace=False)
     vecs = []
+    CAP = args.features          # ONE padded shape -> one compile, not 200
     for d in sample:
-        dd = desc[docs == d]
-        words, _ = bow.transform(voc, jnp.asarray(dd),
-                                 jnp.ones(len(dd), bool))
-        vecs.append(np.asarray(bow.bow_vector(
-            voc, words, jnp.ones(len(dd), bool))))
+        dd = desc[docs == d][:CAP]
+        n = len(dd)
+        pad = np.zeros((CAP, 32), np.uint8)
+        pad[:n] = dd
+        mask = jnp.arange(CAP) < n
+        words, _ = bow.transform(voc, jnp.asarray(pad), mask)
+        vecs.append(np.asarray(bow.bow_vector(voc, words, mask)))
     V = np.stack(vecs)
-    S = 1.0 - 0.5 * np.abs(V[:, None] - V[None, :]).sum(-1)
+    # chunked pairwise L1: the broadcast form is (n, n, W) — 16 GB at
+    # W = 100k words — while row-at-a-time is (n, W)
+    S = np.empty((len(V), len(V)), np.float32)
+    for i in range(len(V)):
+        S[i] = 1.0 - 0.5 * np.abs(V[i][None, :] - V).sum(-1)
     np.fill_diagonal(S, -1)
     top1 = S.max(1)
     med = np.median(S, axis=1)
