@@ -531,6 +531,22 @@ class SlamSystem:
     def _track_sync(self, inputs: tuple, timestamp: float):
         """One fused dispatch + ONE packed device->host transfer per frame;
         host makes all state-machine decisions with current-frame truth."""
+        if self.last_frame is None:
+            # first frame against a LOADED map (reference LoadMap -> LOST):
+            # no motion-model state to track against — relocalize directly
+            frame = self._make_frame_inputs(inputs)
+            frame, ok = self._relocalize(frame)
+            self.last_frame = frame
+            if ok:
+                self.state = TrackState.OK
+                self.velocity7 = None
+                self.kpi.on_frame_tracked(self.frame_id)
+                self._record(timestamp, frame)
+                return self._last_pose()
+            self.state = TrackState.LOST
+            self.kpi.on_frame_lost(self.frame_id)
+            self._record(timestamp, None)
+            return None
         have_vel = self.velocity7 is not None
         vel = self.velocity7 if have_vel else lie.pose7_identity()
         loc = self.localization_only
