@@ -106,10 +106,30 @@ def compact_frame(frame: Frame, priority: jnp.ndarray, out_cap: int):
 
 
 def sample_depth_at(depth_map: jnp.ndarray, uv: jnp.ndarray,
-                    depth_factor: float = 1.0) -> jnp.ndarray:
-    """Nearest-neighbor depth lookup at raw keypoint coords (RGB-D)."""
+                    depth_factor: float = 1.0,
+                    edge_rel_tol: float = 0.08) -> jnp.ndarray:
+    """Nearest-neighbor depth lookup at raw keypoint coords (RGB-D).
+
+    Keypoints sit on corners, and corners sit on depth discontinuities: a
+    1-px rounding of the keypoint position can land the depth sample on the
+    WRONG SIDE of an object boundary — a measurement that is wrong by meters,
+    not noise (reference Frame::ComputeStereoFromRGBD, src/Frame.cc:705-729,
+    samples blindly; TUM depth edges are smeared enough to survive that).
+    Reject the sample when the valid depths in the 3x3 neighborhood disagree
+    by more than edge_rel_tol relative spread — the feature keeps its 2D
+    (mono) observation and simply contributes no depth."""
     H, W = depth_map.shape
     x = jnp.clip(jnp.round(uv[:, 0]), 0, W - 1).astype(jnp.int32)
     y = jnp.clip(jnp.round(uv[:, 1]), 0, H - 1).astype(jnp.int32)
-    d = depth_map[y, x].astype(jnp.float32) * depth_factor
-    return jnp.where(d > 0, d, -1.0)
+    dm = depth_map.astype(jnp.float32)
+    d = dm[y, x] * depth_factor
+    # 3x3 neighborhood min/max over VALID (>0) depths
+    offs = jnp.array([-1, 0, 1])
+    yy = jnp.clip(y[:, None, None] + offs[None, :, None], 0, H - 1)
+    xx = jnp.clip(x[:, None, None] + offs[None, None, :], 0, W - 1)
+    nb = dm.reshape(-1)[(yy * W + xx).reshape(len(x), 9)] * depth_factor
+    nb_valid = nb > 0
+    nb_min = jnp.min(jnp.where(nb_valid, nb, jnp.inf), axis=1)
+    nb_max = jnp.max(jnp.where(nb_valid, nb, -jnp.inf), axis=1)
+    flat = (nb_max - nb_min) <= edge_rel_tol * jnp.maximum(nb_min, 1e-6)
+    return jnp.where((d > 0) & flat, d, -1.0)

@@ -217,7 +217,8 @@ class SlamSystem:
             from ..ops import stereo as stereo_ops
             feats = self.extractor._extract(img_l)
             d = stereo_ops.stereo_depth_for_features(
-                self.cam, img_l, img_r, feats, self.cfg.scale_factor)
+                self.cam, img_l, img_r, feats, self.cfg.scale_factor,
+                n_levels=self.cfg.n_levels)
             frame = _fff(self.cam, feats, d)
             return T.track_frame_fused(self.cam, tcfg, map_state, frame,
                                        last, vel, have_vel, ref_kf)
@@ -353,7 +354,8 @@ class SlamSystem:
             from ..ops import stereo as stereo_ops
             feats = self.extractor._extract(img_l)
             d = stereo_ops.stereo_depth_for_features(
-                self.cam, img_l, img_r, feats, self.cfg.scale_factor)
+                self.cam, img_l, img_r, feats, self.cfg.scale_factor,
+                n_levels=self.cfg.n_levels)
             frame = _fff(self.cam, feats, d)
             return _super(loop, frame, frame_id, timestamp, mapping_on)
 
@@ -394,7 +396,8 @@ class SlamSystem:
                 from ..ops import stereo as stereo_ops
                 feats = self.extractor._extract(img_l)
                 d = stereo_ops.stereo_depth_for_features(
-                    self.cam, img_l, img_r, feats, self.cfg.scale_factor)
+                    self.cam, img_l, img_r, feats, self.cfg.scale_factor,
+                    n_levels=self.cfg.n_levels)
                 frame = _fff(self.cam, feats, d)
                 return T.track_frame_loc(self.cam, tcfg, map_state, frame,
                                          last, vel, have_vel, ref_kf)
@@ -492,7 +495,8 @@ class SlamSystem:
             img_l, img_r = inputs
             feats = self.extractor(img_l)
             depth = stereo_ops.stereo_depth_for_features(
-                self.cam, img_l, img_r, feats, self.cfg.scale_factor)
+                self.cam, img_l, img_r, feats, self.cfg.scale_factor,
+                n_levels=self.cfg.n_levels)
             return frame_from_features(self.cam, feats, depth)
         if self.sensor == Sensor.RGBD:
             return self._make_frame(inputs[0], inputs[1])

@@ -361,9 +361,34 @@ def ba_solve(cam: Camera, prob: BAProblem, iters_phase1: int = 5,
                 lam, pose7, pts)
 
     lam0 = jnp.asarray(1e-4, prob.points.dtype)
+    # Gross-outlier gate at the seed state: observations hundreds of sigma
+    # off at the CURRENT (tracked, trustworthy) poses are wrong bindings,
+    # not noise — e.g. RGB-D/stereo depth samples that landed across a depth
+    # discontinuity. Under Huber their cost is ~sqrt(delta2*chi2), so a few
+    # percent of them still dominates the phase-1 objective and drags the
+    # whole window off before reclassification can run. Gate them out of
+    # phase 1 only; the phase-2 reclassification below re-tests EVERY
+    # observation at the phase-1 state, so a mistakenly gated observation is
+    # re-admitted. (The reference gets away without this because g2o erases
+    # outlier edges map-side every mapping pass — our erase happens post-BA.)
+    R0, t0 = lie.pose7_unpack(prob.cam_pose7)
+    r0, _, _, behind0 = _residual_jacobians(cam, R0, t0, prob)
+    chi2_0 = jnp.sum(r0 * r0, -1) * prob.obs_inv_sigma2
+    # adaptive threshold: when the seed itself is noisy (mono init, GBA
+    # after a loop correction) honest residuals are large, so the gate
+    # scales with the median seed chi2 instead of cutting into the
+    # inlier population; when tracking is tight (median chi2 ~0.1) the
+    # static 32x floor rules
+    live0 = prob.obs_valid & prob.point_valid[prob.obs_point] & ~behind0
+    med0 = jnp.nanmedian(jnp.where(live0, chi2_0, jnp.nan))
+    med0 = jnp.where(jnp.isnan(med0), 0.0, med0)
+    gross_th = jnp.maximum(
+        32.0 * jnp.where(prob.obs_uvr[:, 2] >= 0, CHI2_STEREO, CHI2_MONO),
+        25.0 * med0)
+    gross_mask = (chi2_0 <= gross_th) & ~behind0
     state = phase_init(prob.cam_pose7, prob.points, lam0)
     state = jax.lax.fori_loop(
-        0, iters_phase1, lambda i, s: lm_step(s, True, None), state)
+        0, iters_phase1, lambda i, s: lm_step(s, True, gross_mask), state)
 
     def phase_best(state, robust, extra_mask):
         """Resolve the trailing trial: keep it if it improved the cost."""
@@ -377,7 +402,7 @@ def ba_solve(cam: Camera, prob: BAProblem, iters_phase1: int = 5,
         return (jnp.where(accept, pose_t, pose_b),
                 jnp.where(accept, pts_t, pts_b), lam)
 
-    pose7, pts, lam = phase_best(state, True, None)
+    pose7, pts, lam = phase_best(state, True, gross_mask)
 
     # reclassify outliers (reference Optimizer.cc:1011-1031)
     R, t = lie.pose7_unpack(pose7)

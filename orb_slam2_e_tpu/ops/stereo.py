@@ -79,35 +79,58 @@ def stereo_match(cam: Camera, feats_l: OrbFeatures, feats_r: OrbFeatures,
         sads.append(jnp.sum(jnp.abs(patch_l - patch_r), axis=(1, 2)))
     sad = jnp.stack(sads, axis=1)                      # (F, 11)
     best_s = jnp.argmin(sad, axis=1)
-    # parabola subpixel (reference Frame.cc:664-672)
+    # the reference DISCARDS matches whose SAD minimum sits on the slide
+    # boundary (Frame.cc:659-660: bestincR==-L || bestincR==L -> continue):
+    # the true minimum is outside the window, so the parabola is invalid
+    interior = (best_s > 0) & (best_s < 2 * SLIDE)
     ctr = jnp.clip(best_s, 1, 2 * SLIDE - 1)
+    # parabola subpixel (reference Frame.cc:664-672)
     y0 = jnp.take_along_axis(sad, (ctr - 1)[:, None], 1)[:, 0]
     y1 = jnp.take_along_axis(sad, ctr[:, None], 1)[:, 0]
     y2 = jnp.take_along_axis(sad, (ctr + 1)[:, None], 1)[:, 0]
     denom = jnp.maximum(y0 + y2 - 2 * y1, 1e-6)
-    delta = jnp.clip(0.5 * (y0 - y2) / denom, -1.0, 1.0)
+    delta = 0.5 * (y0 - y2) / denom
+    # reference rejects |delta| > 1 (Frame.cc:668-669) instead of clamping
+    delta_ok = jnp.abs(delta) <= 1.0
     u_ref = cxr0.astype(jnp.float32) + (ctr - SLIDE).astype(jnp.float32) + delta
 
-    disparity = feats_l.uv[:, 0] - u_ref
-    ok = good & (disparity > 0.01) & (disparity < max_d)
+    # Disparity of the IMAGE CONTENT at the SAD window center. The left
+    # window is centered on the integer cxl, so the refined right position
+    # u_ref estimates (cxl - d); using the keypoint's subpixel u_l here
+    # would fold frac(u_l) (up to 0.5 px) into the disparity.
+    disparity = cxl.astype(jnp.float32) - u_ref
+    ok = good & interior & delta_ok & (disparity > 0.01) & (disparity < max_d)
+    # median-SAD outlier filter (reference Frame.cc:690-701): matches whose
+    # best SAD exceeds 1.5 * 1.4 * median are wrong-correspondence outliers
+    # (these are exactly the huge-disparity -> tiny-depth landmarks that
+    # would otherwise poison stereo initialization)
+    sad_best = y1
+    med = jnp.nanmedian(jnp.where(ok, sad_best, jnp.nan))
+    sad_ok = sad_best <= 1.5 * 1.4 * jnp.where(jnp.isnan(med), jnp.inf, med)
+    ok = ok & sad_ok
     depth = jnp.where(ok, cam.bf / jnp.maximum(disparity, 1e-6), -1.0)
-    ur = jnp.where(ok, u_ref, -1.0)
+    # u_r consistent with the keypoint's subpixel u: ur = u_l - d, so the
+    # tracking residual u - bf/z - ur is zero at the measured depth
+    ur = jnp.where(ok, feats_l.uv[:, 0] - disparity, -1.0)
     return ur, depth
 
 
 def stereo_depth_for_features(cam: Camera, img_l, img_r, feats_l: OrbFeatures,
                               scale_factor: float = 1.2,
-                              extractor=None):
+                              extractor=None, n_levels: int = 8):
     """Convenience wrapper: extract right features and match. The right
-    extractor reuses the left's configuration."""
+    extractor reuses the left's configuration (pass n_levels to match the
+    left pyramid — a mismatched right pyramid detects the same physical
+    corners at different octaves and the octave-band gate then drops them)."""
     from .orb import OrbExtractor
     if extractor is None:
-        # cache one right-image extractor per (shape, capacity)
-        key = (img_r.shape, feats_l.uv.shape[0])
+        # cache one right-image extractor per (shape, capacity, pyramid)
+        key = (img_r.shape, feats_l.uv.shape[0], scale_factor, n_levels)
         cache = stereo_depth_for_features.__dict__.setdefault('_cache', {})
         if key not in cache:
             n = feats_l.uv.shape[0]
-            cache[key] = OrbExtractor(n_features=n, scale_factor=scale_factor)
+            cache[key] = OrbExtractor(n_features=n, scale_factor=scale_factor,
+                                      n_levels=n_levels)
         extractor = cache[key]
     feats_r = extractor(img_r)
     _, depth = stereo_match(cam, feats_l, feats_r, img_l, img_r, scale_factor)

@@ -22,7 +22,8 @@ class SyntheticScene:
     to corner-rich patches that FAST/BRIEF handle well."""
 
     def __init__(self, n_points=400, seed=0, extent=(6.0, 4.0), depth=(4.0, 9.0),
-                 width=640, height=480, fx=500.0, fy=500.0, cx=320.0, cy=240.0):
+                 width=640, height=480, fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                 supersample=4):
         rng = np.random.RandomState(seed)
         ex, ey = extent
         self.xyz = np.stack([
@@ -35,33 +36,45 @@ class SyntheticScene:
         self.pattern = rng.uniform(25, 235, (n_points, 3, 3)).astype(np.float32)
         self.W, self.H = width, height
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        # Subpixel-accurate rendering: draw on a supersampled grid and
+        # box-downsample. Without this, square edges quantize to integer
+        # pixels, so the *image-level* stereo disparity is an integer no
+        # matter how good the matcher is — a ~0.3 px accuracy floor that
+        # masks real matcher quality (reference datasets are real images
+        # with natural subpixel edge gradients).
+        self.ss = int(supersample)
 
     def render(self, R: np.ndarray, t: np.ndarray) -> np.ndarray:
         """Render the scene from camera pose Tcw = (R, t). Returns (H, W) f32."""
-        img = np.full((self.H, self.W), 20.0, np.float32)
+        S = self.ss
+        Ws, Hs = self.W * S, self.H * S
+        img = np.full((Hs, Ws), 20.0, np.float32)
         xc = (R @ self.xyz.T).T + t
         z = xc[:, 2]
         order = np.argsort(-z)  # far first
         for i in order:
             if z[i] <= 0.3:
                 continue
-            u = self.fx * xc[i, 0] / z[i] + self.cx
-            v = self.fy * xc[i, 1] / z[i] + self.cy
-            half = max(2, int(round(self.fx * self.size[i] / z[i] / 2)))
+            # supersampled-grid coordinates: pixel centers at (k+0.5)/S - 0.5
+            u = (self.fx * xc[i, 0] / z[i] + self.cx + 0.5) * S - 0.5
+            v = (self.fy * xc[i, 1] / z[i] + self.cy + 0.5) * S - 0.5
+            half = max(2 * S, int(round(self.fx * self.size[i] / z[i] / 2 * S)))
             x0, x1 = int(round(u)) - half, int(round(u)) + half
             y0, y1 = int(round(v)) - half, int(round(v)) + half
-            if x1 < 0 or y1 < 0 or x0 >= self.W or y0 >= self.H:
+            if x1 < 0 or y1 < 0 or x0 >= Ws or y0 >= Hs:
                 continue
             # 3x3 per-square texture pattern
             xe = np.round(np.linspace(x0, x1, 4)).astype(int)
             ye = np.round(np.linspace(y0, y1, 4)).astype(int)
             for a in range(3):
                 for b in range(3):
-                    xs0, xs1 = max(xe[b], 0), min(xe[b + 1], self.W)
-                    ys0, ys1 = max(ye[a], 0), min(ye[a + 1], self.H)
+                    xs0, xs1 = max(xe[b], 0), min(xe[b + 1], Ws)
+                    ys0, ys1 = max(ye[a], 0), min(ye[a + 1], Hs)
                     if xs1 > xs0 and ys1 > ys0:
                         img[ys0:ys1, xs0:xs1] = self.pattern[i, a, b]
-        return img
+        if S == 1:
+            return img
+        return img.reshape(self.H, S, self.W, S).mean(axis=(1, 3))
 
     def depth_map(self, R: np.ndarray, t: np.ndarray) -> np.ndarray:
         """Ground-truth depth rendered the same way (RGB-D tests)."""
