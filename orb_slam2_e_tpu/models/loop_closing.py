@@ -144,12 +144,16 @@ def _sim3_proj_match(cam: Camera, state: MapState, kf_from, kf_to,
     xc = lie.se3_apply(Rf, tf, state.lm_xyz[jnp.where(p_from >= 0,
                                                       p_from, 0)])
     x_to, uv, z = _project_sim3(cam, R, t, s, xc)
-    dist = jnp.linalg.norm(x_to, axis=1)
+    # scale-invariance window on the METRIC distance: |x_to| carries the
+    # Sim3 scale s, so de-scale it before comparing against the landmark's
+    # metric 0.8*min/1.2*max bounds (the reference de-scales Scw the same
+    # way — ORBmatcher.cc SearchByProjection(KF, Scw): Rcw=sRcw/s, tcw/s)
+    dist = jnp.linalg.norm(x_to, axis=1) / jnp.maximum(s, 1e-9)
     pid_safe = jnp.where(p_from >= 0, p_from, 0)
     ok = ok_from & (z > 0) & cam_ops.in_image(cam, uv) \
-        & (dist >= 0.8 * state.lm_min_dist[pid_safe] / jnp.maximum(s, 1e-9)) \
-        & (dist <= 1.2 * state.lm_max_dist[pid_safe] / jnp.maximum(s, 1e-9))
-    ratio = state.lm_max_dist[pid_safe] / jnp.maximum(dist * s, 1e-6)
+        & (dist >= 0.8 * state.lm_min_dist[pid_safe]) \
+        & (dist <= 1.2 * state.lm_max_dist[pid_safe])
+    ratio = state.lm_max_dist[pid_safe] / jnp.maximum(dist, 1e-6)
     oct_pred = jnp.clip(
         jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-6))
                  / np.log(scale_factor)).astype(jnp.int32), 0, n_levels - 1)
@@ -239,11 +243,12 @@ def verify_sim3(cam: Camera, state: MapState, kf_cur, kf_cand,
     from ..ops import camera as cam_ops
     xc2 = lie.se3_apply(R2, t2, state.lm_xyz[lids])
     x_cur, uv, z = _project_sim3(cam, Rr, tr, sr, xc2)
-    dist = jnp.linalg.norm(x_cur, axis=1)
+    # metric distance (de-scaled), as in _sim3_proj_match above
+    dist = jnp.linalg.norm(x_cur, axis=1) / jnp.maximum(sr, 1e-9)
     ok = lsub & (z > 0) & cam_ops.in_image(cam, uv) \
-        & (dist >= 0.8 * state.lm_min_dist[lids] / jnp.maximum(sr, 1e-9)) \
-        & (dist <= 1.2 * state.lm_max_dist[lids] / jnp.maximum(sr, 1e-9))
-    ratio = state.lm_max_dist[lids] / jnp.maximum(dist * sr, 1e-6)
+        & (dist >= 0.8 * state.lm_min_dist[lids]) \
+        & (dist <= 1.2 * state.lm_max_dist[lids])
+    ratio = state.lm_max_dist[lids] / jnp.maximum(dist, 1e-6)
     oct_pred = jnp.clip(
         jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-6))
                  / np.log(scale_factor)).astype(jnp.int32), 0, n_levels - 1)
@@ -258,7 +263,13 @@ def verify_sim3(cam: Camera, state: MapState, kf_cur, kf_cand,
     good = d1 <= matching.TH_LOW
     midx = matching.resolve_duplicates(
         jnp.where(good, best, INVALID), d1, F)
-    n_total = jnp.sum(midx >= 0)
+    # the >=40 gate counts the UNION of stage-1 Sim3/BoW inlier pairs and
+    # stage-2 projection matches, per CUR feature — the reference seeds
+    # mvpCurrentMatchedPoints with the Sim3 matches before
+    # SearchByProjection adds to it (LoopClosing.cc:353-376)
+    stage2_feat = jnp.zeros((F,), bool).at[
+        jnp.where(midx >= 0, midx, 0)].max(midx >= 0)
+    n_total = jnp.sum(stage2_feat | (pair_ok & inl))
     return Rr, tr, sr, n_in, n_total, clip
 
 

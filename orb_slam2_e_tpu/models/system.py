@@ -75,10 +75,16 @@ class SystemConfig:
     stats_reloc_path: str = None         # Output.StatsReloc: per-attempt
                                          # StatsReloc.txt log (reference
                                          # Tracking.cc:178-183)
-    min_frames_between_kf: int = 3       # emulates the reference's
-                                         # mapping-idle throttle (its mMinFrames
-                                         # is 0 but insertion waits for the
-                                         # LocalMapping thread to be idle)
+    min_frames_between_kf: int = 0       # reference mMinFrames = 0
+                                         # (Tracking.cc:1346): insert the
+                                         # moment tracking weakens. A min-gap
+                                         # of 3 lost rotation-fast sequences:
+                                         # inliers fell below the track gate
+                                         # before insertion was allowed.
+                                         # Mapping here is synchronous, so the
+                                         # reference's mapping-idle wait has no
+                                         # analogue; c2 (n_in < 0.9*ref) still
+                                         # throttles insertion.
     max_frames_between_kf: int = 30      # ~fps (reference mMaxFrames = fps)
     min_init_matches: int = 100          # mono init gate (reference
                                          # Tracking.cc:728 with a 2x-feature
@@ -431,9 +437,11 @@ class SlamSystem:
                       "points_culled": 0, "kf_culled": 0, "relocs": 0,
                       "loops_closed": 0,
                       # capacity-clip observability (VERDICT r2 Weak #6):
-                      # count of passes that hit a capacity window + which
-                      # (bit 0 BA points, 1 fixed ring, 2 BA obs, 3 fuse,
-                      # bit 4 local-map search, bit 5 GBA obs)
+                      # count of passes that hit a capacity window + which.
+                      # Bit layout (single source of truth): 0 BA points,
+                      # 1 fixed ring, 2 BA obs, 3 fuse, 4 local-map search,
+                      # 5 GBA obs, 6 essential-graph window, 7 verify_sim3
+                      # loop-group, 8 loop search_and_fuse
                       "capacity_clips": 0, "clip_bits": 0}
         # place recognition: a pretrained vocabulary artifact is loaded when
         # available (reference loads ORBvoc at System ctor, System.cc:69-76);
@@ -1033,7 +1041,7 @@ class SlamSystem:
             fix_scale)
         if int(clip_v):
             self.stats["capacity_clips"] += 1
-            self.stats["clip_bits"] |= 1 << 7
+            self.stats["clip_bits"] |= 1 << 7    # verify_sim3 loop-group clip
         if int(n_in2) < LC.MIN_SIM3_INLIERS or int(n_total) < 40:
             self.stats["loops_rejected"] = self.stats.get(
                 "loops_rejected", 0) + 1
@@ -1047,7 +1055,10 @@ class SlamSystem:
             self.cfg.scale_factor, self.cfg.n_levels)
         if int(clip_e) or int(clip_f):
             self.stats["capacity_clips"] += 1
-            self.stats["clip_bits"] |= (int(clip_e) << 6) | (int(clip_f) << 7)
+            # bit 6 = essential-graph window clip, bit 8 = search_and_fuse
+            # clip (bit 7 belongs to verify_sim3 above — ADVICE r4: the two
+            # clips must stay distinguishable in diagnostics)
+            self.stats["clip_bits"] |= (int(clip_e) << 6) | (int(clip_f) << 8)
         # global BA in bounded chunks interleaved between frames — the
         # functional analogue of the abortable GBA thread (reference
         # LoopClosing.cc:645-749). A newer closure supersedes a pending one

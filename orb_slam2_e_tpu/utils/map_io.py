@@ -34,11 +34,28 @@ def load_map(path) -> tuple[MapState, dict]:
     """Load a map checkpoint -> (MapState, extra_dict)."""
     data = np.load(path)
     ver = int(data["format_version"])
-    if ver != FORMAT_VERSION:
-        raise ValueError(f"map checkpoint version {ver} != {FORMAT_VERSION}")
+    if ver > FORMAT_VERSION:
+        raise ValueError(f"map checkpoint version {ver} > {FORMAT_VERSION}")
     fields = {}
     for k in MapState._fields:
-        fields[k] = jnp.asarray(data[f"map_{k}"])
+        if f"map_{k}" in data.files:
+            fields[k] = jnp.asarray(data[f"map_{k}"])
+    if ver == 1:
+        # v1 -> v2 migration (ADVICE r4): synthesize the monotonic keyframe
+        # sequence ids / landmark birth ids that v2 added, instead of
+        # hard-rejecting old checkpoints. Slot order was insertion order
+        # before compaction existed, so it is a faithful kf_seq backfill.
+        kf_valid = np.asarray(fields["kf_valid"])
+        kf_seq = np.where(kf_valid, np.arange(len(kf_valid)), -1)
+        fields.setdefault("kf_seq", jnp.asarray(kf_seq.astype(np.int32)))
+        fields.setdefault("next_seq",
+                          jnp.asarray(np.int32(kf_valid.sum())))
+        fields.setdefault(
+            "lm_first_seq",
+            jnp.zeros(np.asarray(fields["lm_valid"]).shape, jnp.int32))
+    missing = [k for k in MapState._fields if k not in fields]
+    if missing:
+        raise ValueError(f"map checkpoint missing fields: {missing}")
     extra = {k[6:]: data[k] for k in data.files if k.startswith("extra_")}
     return MapState(**fields), extra
 

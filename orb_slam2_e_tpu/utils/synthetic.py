@@ -96,16 +96,26 @@ class SyntheticScene:
         return dm
 
 
-def make_ring_scene(n_points=600, seed=0, ring_radius=9.0, height=2.5,
+def make_ring_scene(n_points=600, seed=0, ring_radius=9.0, band_height=2.5,
                     **kwargs) -> "SyntheticScene":
     """Scene whose points lie on a cylindrical band around the origin —
     paired with `circle_trajectory` for loop-closure tests (the camera
-    travels a circle looking outward and re-observes the start)."""
+    travels a circle looking outward and re-observes the start).
+
+    NB: the band half-height parameter is `band_height`, NOT `height` —
+    `height` passes through to SyntheticScene as the IMAGE height. (An
+    earlier `height=` name silently swallowed callers' image height as a
+    ±360 m band, leaving every render empty.)"""
     rng = np.random.RandomState(seed)
     scene = SyntheticScene(n_points=n_points, seed=seed, **kwargs)
+    # keep APPARENT square size comparable to the default scene (depth
+    # 4-9 m): at ring viewing distances the default 0.08-0.18 m squares
+    # project to ~4-8 px and their 3x3 texture cells alias away, starving
+    # the matcher of distinctive descriptors
+    scene.size = scene.size * max(1.0, (ring_radius - 2.0) / 6.0)
     theta = rng.uniform(0, 2 * np.pi, n_points)
     r = ring_radius + rng.uniform(-1.0, 1.0, n_points)
-    y = rng.uniform(-height, height, n_points)
+    y = rng.uniform(-band_height, band_height, n_points)
     scene.xyz = np.stack([r * np.sin(theta), y, r * np.cos(theta)],
                          1).astype(np.float32)
     return scene

@@ -59,6 +59,27 @@ def test_map_save_load_roundtrip(rgbd_run, tmp_path):
     assert int(extra["n_keyframes"]) == sys.n_keyframes
 
 
+def test_map_load_v1_migration(rgbd_run, tmp_path):
+    """A v1 checkpoint (no kf_seq/next_seq/lm_first_seq) must load with
+    those fields synthesized, not raise (ADVICE r4)."""
+    sys, *_ = rgbd_run
+    p = tmp_path / "map_v1.npz"
+    sys.save_map(p)
+    data = dict(np.load(p))
+    data["format_version"] = np.asarray(1)
+    for k in ("map_kf_seq", "map_next_seq", "map_lm_first_seq"):
+        data.pop(k, None)
+    np.savez_compressed(p, **data)
+    from orb_slam2_e_tpu.utils import map_io
+    state2, extra = map_io.load_map(p)
+    kfv = np.asarray(state2.kf_valid)
+    seq = np.asarray(state2.kf_seq)
+    assert (seq[kfv] >= 0).all()
+    assert int(state2.next_seq) == kfv.sum()
+    assert np.asarray(state2.lm_first_seq).shape == \
+        np.asarray(state2.lm_valid).shape
+
+
 def test_pointcloud_export(rgbd_run, tmp_path):
     sys, *_ = rgbd_run
     from orb_slam2_e_tpu.utils import map_io

@@ -89,11 +89,19 @@ def _build_state(n_consistent: int, n_off: int, seed=0):
     lm_xyz[N:N + n_off] = X_cur_off
     lm_desc[N:N + n_off] = desc[n_consistent:]
     lm_valid[N:N + n_off] = True
+    # realistic scale-invariance bounds, as production spawning sets them
+    # (tracking.insert_keyframe: max = viewing distance * 1.2^octave at
+    # creation, min = max / 1.2^(n_levels-1)). A uniform max_dist of 50
+    # would make PredictScale forecast octave ~12 for every landmark and
+    # the octave-band gate would then reject every octave-0 feature — the
+    # r4 ladder false-negative was this test artifact, not a ladder bug.
+    lm_max = np.linalg.norm(lm_xyz - np.zeros(3), axis=1).astype(np.float32)
+    lm_max = np.where(lm_max > 0, lm_max, 1.0)
     state = state._replace(
         lm_xyz=jnp.asarray(lm_xyz), lm_valid=jnp.asarray(lm_valid),
         lm_desc=jnp.asarray(lm_desc),
-        lm_min_dist=jnp.full((256,), 0.1),
-        lm_max_dist=jnp.full((256,), 50.0),
+        lm_min_dist=jnp.asarray(lm_max / 1.2 ** 7),
+        lm_max_dist=jnp.asarray(lm_max),
     )
     add_kf(0, R_cand, t_cand, X_cand_all, cand_pids)
     add_kf(1, R_cur, t_cur, X_cur_all, cur_pids)
