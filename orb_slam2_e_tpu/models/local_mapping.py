@@ -196,6 +196,7 @@ def triangulate_with_neighbors(cam: Camera, cfg: MappingConfig,
         lm_xyz=ms(state.lm_xyz, slots, okn, X),
         lm_valid=state.lm_valid.at[jnp.where(okn, slots, 0)].max(okn),
         lm_desc=ms(state.lm_desc, slots, okn, state.kf_desc[kf]),
+        lm_angle=ms(state.lm_angle, slots, okn, state.kf_kp_angle[kf]),
         lm_normal=ms(state.lm_normal, slots, okn, normal),
         lm_min_dist=ms(state.lm_min_dist, slots, okn, mind),
         lm_max_dist=ms(state.lm_max_dist, slots, okn, maxd),
@@ -421,10 +422,14 @@ def refresh_landmarks(cfg: MappingConfig, state: MapState, kf):
     maxd = dist * cfg.scale_factor ** ref_oct.astype(jnp.float32)
     mind = maxd / cfg.scale_factor ** (cfg.n_levels - 1)
 
+    # angle of the SAME observation the distinctive descriptor came from
+    new_angle = jnp.take_along_axis(
+        state.kf_kp_angle[kf_safe, obs_f], best[:, None], 1)[:, 0]
     upd = p_ok & (n_obs >= 2) & ref_ok
     ms = scatter.masked_set
     return state._replace(
         lm_desc=ms(state.lm_desc, pids, upd, new_desc),
+        lm_angle=ms(state.lm_angle, pids, upd, new_angle),
         lm_normal=ms(state.lm_normal, pids, upd, normal),
         lm_max_dist=ms(state.lm_max_dist, pids, upd, maxd),
         lm_min_dist=ms(state.lm_min_dist, pids, upd, mind),

@@ -53,6 +53,11 @@ class MapState(NamedTuple):
     lm_xyz: jnp.ndarray       # (P, 3)
     lm_valid: jnp.ndarray     # (P,) bool
     lm_desc: jnp.ndarray      # (P, 32) uint8 distinctive descriptor
+    lm_angle: jnp.ndarray     # (P,) float32 keypoint angle of the
+                              #   observation the distinctive descriptor
+                              #   came from (drives the rotation-
+                              #   consistency histogram in projection
+                              #   searches, reference ORBmatcher.cc:1673+)
     lm_normal: jnp.ndarray    # (P, 3) mean viewing direction
     lm_min_dist: jnp.ndarray  # (P,) scale-invariance bounds
     lm_max_dist: jnp.ndarray  # (P,)
@@ -100,6 +105,7 @@ class MapState(NamedTuple):
             lm_xyz=jnp.zeros((P, 3), dtype),
             lm_valid=jnp.zeros((P,), bool),
             lm_desc=jnp.zeros((P, 32), jnp.uint8),
+            lm_angle=jnp.zeros((P,), dtype),
             lm_normal=jnp.zeros((P, 3), dtype),
             lm_min_dist=jnp.zeros((P,), dtype),
             lm_max_dist=jnp.zeros((P,), dtype),

@@ -111,7 +111,8 @@ def fullmap_search(cam: Camera, cfg: TrackConfig, state: MapState,
             cam, cfg, R, t, state.lm_xyz[ids], state.lm_desc[ids], mask,
             state.lm_max_dist[ids], state.lm_min_dist[ids],
             state.lm_normal[ids], frame, radius_scale=radius_scale,
-            max_hamming=max_hamming, ratio=1.0, check_view_cos=False)
+            max_hamming=max_hamming, ratio=1.0, check_view_cos=False,
+            angles=state.lm_angle[ids])
         frame = bind_matches(frame, jnp.where(mask, ids, INVALID),
                              best_feat, dists)
         return frame, None

@@ -84,12 +84,16 @@ def mutual_filter(best_ab: jnp.ndarray, best_ba: jnp.ndarray) -> jnp.ndarray:
 
 
 def rotation_consistency_mask(angle_a: jnp.ndarray, angle_b: jnp.ndarray,
-                              pair_valid: jnp.ndarray) -> jnp.ndarray:
+                              pair_valid: jnp.ndarray,
+                              min_pairs: int = 8) -> jnp.ndarray:
     """Keep only matches whose angle difference falls in the 3 most popular
     of 30 bins (reference ORBmatcher::ComputeThreeMaxima,
     src/ORBmatcher.cc:1778-1820 and rotation histogram usage at :606+).
 
-    angle_a/angle_b: radians per match pair (aligned arrays)."""
+    angle_a/angle_b: radians per match pair (aligned arrays). With fewer
+    than min_pairs valid pairs the histogram carries no signal (top-3-bins
+    of a near-empty histogram would drop valid matches arbitrarily) and the
+    mask passes through unchanged."""
     diff = (angle_a - angle_b) % (2 * np.pi)             # [0, 2pi)
     bin_f = diff * (HISTO_LENGTH / (2 * np.pi))
     bins = jnp.clip(bin_f.astype(jnp.int32), 0, HISTO_LENGTH - 1)
@@ -100,7 +104,8 @@ def rotation_consistency_mask(angle_a: jnp.ndarray, angle_b: jnp.ndarray,
     keep_bin = top3_counts >= jnp.maximum(
         (0.1 * top3_counts[0]).astype(jnp.int32), 1)
     allowed = jnp.zeros((HISTO_LENGTH,), bool).at[top3_bins].max(keep_bin)
-    return pair_valid & allowed[bins]
+    enough = jnp.sum(pair_valid) >= min_pairs
+    return pair_valid & (allowed[bins] | ~enough)
 
 
 def window_mask(uv_query: jnp.ndarray, uv_train: jnp.ndarray,

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from ..models.map_state import MapState
 
-FORMAT_VERSION = 2   # v2: + kf_seq / next_seq / lm_first_seq (VERDICT r3 #7)
+FORMAT_VERSION = 3   # v2: + kf_seq / next_seq / lm_first_seq (VERDICT r3 #7)
+                     # v3: + lm_angle (rotation-consistency histograms)
 
 
 def save_map(path, state: MapState, extra: dict | None = None):
@@ -53,6 +54,12 @@ def load_map(path) -> tuple[MapState, dict]:
         fields.setdefault(
             "lm_first_seq",
             jnp.zeros(np.asarray(fields["lm_valid"]).shape, jnp.int32))
+    if ver < 3:
+        # v3 added lm_angle; zero is a safe backfill (the histogram then
+        # votes on -frame_angle, still a single consistent rotation bin)
+        fields.setdefault(
+            "lm_angle",
+            jnp.zeros(np.asarray(fields["lm_valid"]).shape, jnp.float32))
     missing = [k for k in MapState._fields if k not in fields]
     if missing:
         raise ValueError(f"map checkpoint missing fields: {missing}")

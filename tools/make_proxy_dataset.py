@@ -133,15 +133,26 @@ class Plane:
 
 
 def render(planes: list[Plane], R: np.ndarray, t: np.ndarray,
-           near=0.05, far=60.0):
+           near=0.05, far=60.0, size=None, intrinsics=None, dirs=None):
     """Render (image, depth) from world-to-camera pose (R, t); exact
-    per-pixel ray/plane intersection + bilinear texture sampling."""
+    per-pixel ray/plane intersection + bilinear texture sampling.
+
+    size=(W, H) / intrinsics=(fx, fy, cx, cy) override the TUM defaults
+    (the KITTI / EuRoC proxy generators pass their own); `dirs` overrides
+    the per-pixel ray directions entirely (used to render DISTORTED EuRoC
+    frames: each raw pixel's ray is the inverse-distorted normalized
+    coordinate)."""
     import cv2
-    us, vs = np.meshgrid(np.arange(W, dtype=np.float64),
-                         np.arange(H, dtype=np.float64))
-    dirs = np.stack([(us - CX) / FX, (vs - CY) / FY, np.ones_like(us)], -1)
-    img = np.zeros((H, W), np.float32)
-    zbuf = np.full((H, W), np.inf, np.float64)
+    Wl, Hl = size if size is not None else (W, H)
+    fx, fy, cx, cy = intrinsics if intrinsics is not None \
+        else (FX, FY, CX, CY)
+    if dirs is None:
+        us, vs = np.meshgrid(np.arange(Wl, dtype=np.float64),
+                             np.arange(Hl, dtype=np.float64))
+        dirs = np.stack([(us - cx) / fx, (vs - cy) / fy,
+                         np.ones_like(us)], -1)
+    img = np.zeros((Hl, Wl), np.float32)
+    zbuf = np.full((Hl, Wl), np.inf, np.float64)
     for pl in planes:
         p0 = R @ pl.origin + t
         e1 = R @ pl.ex
